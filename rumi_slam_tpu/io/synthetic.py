@@ -1,0 +1,120 @@
+"""Synthetic sequence generator: textured 3D world + camera trajectory.
+
+Stands in for the TUM RGB-D datasets the reference replays
+(/root/reference/src/rumi-slam/src/cloud_edge_main.cpp:550 RunTxt): no dataset
+download is possible in this environment, so integration tests and benches
+render a deterministic synthetic world with exact groundtruth.  The renderer
+splats high-contrast square patches at projected world-point locations —
+corner-rich imagery that FAST/BRIEF track well.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import camera, lie
+
+
+class SyntheticWorld(NamedTuple):
+    xyz: jnp.ndarray        # [M,3] world landmarks
+    intensity: jnp.ndarray  # [M] patch brightness
+    size: jnp.ndarray       # [M] patch half-size in world units (approx)
+
+
+def make_world(n_points=3000, seed=0, box=((-6, -4, 2), (6, 4, 18))):
+    rng = np.random.default_rng(seed)
+    lo, hi = np.asarray(box[0]), np.asarray(box[1])
+    xyz = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float32)
+    inten = rng.uniform(60, 255, size=n_points).astype(np.float32)
+    size = rng.uniform(0.02, 0.08, size=n_points).astype(np.float32)
+    return SyntheticWorld(jnp.asarray(xyz), jnp.asarray(inten), jnp.asarray(size))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "patch"))
+def render_frame(world: SyntheticWorld, K, T_cw, *, width=640, height=480, patch=4):
+    """Render one grayscale frame [H,W] float32 by splatting square patches."""
+    uv, depth = camera.project_world(K, T_cw, world.xyz)
+    # perspective patch size in pixels
+    px = jnp.clip(world.size * K[0] / jnp.maximum(depth, 0.3), 1.0, float(patch))
+    vis = (
+        (depth > 0.3)
+        & (uv[:, 0] > -8)
+        & (uv[:, 0] < width + 8)
+        & (uv[:, 1] > -8)
+        & (uv[:, 1] < height + 8)
+    )
+    img = jnp.full((height, width), 40.0, jnp.float32)
+    cx = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, width - 1)
+    cy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, height - 1)
+    inten = jnp.where(vis, world.intensity, 0.0)
+    # nearer (larger) splats drawn as (2r+1)^2 squares via max-scatter
+    for dy in range(-patch, patch + 1):
+        for dx in range(-patch, patch + 1):
+            inside = (jnp.abs(dy) <= px) & (jnp.abs(dx) <= px)
+            yy = jnp.clip(cy + dy, 0, height - 1)
+            xx = jnp.clip(cx + dx, 0, width - 1)
+            img = img.at[yy, xx].max(jnp.where(inside, inten, 0.0))
+    return img
+
+
+def smooth_trajectory(n_frames, *, seed=1, speed=0.06, yaw_rate=0.004,
+                      lost_span=None):
+    """World->camera poses for a forward-moving, gently-turning camera.
+
+    Args:
+      lost_span: optional (start, end) frame range where the camera makes a
+        violent jump (to trigger tracking loss, exercising the rumination
+        path).
+    Returns list of [7] T_cw arrays and timestamps (30 fps).
+    """
+    rng = np.random.default_rng(seed)
+    poses = []
+    t = np.zeros(3, np.float32)
+    yaw = 0.0
+    for i in range(n_frames):
+        if lost_span is not None and lost_span[0] <= i < lost_span[1]:
+            # violent shake: large random rotation — frames are untrackable
+            q = lie.so3_exp(jnp.asarray(rng.normal(scale=0.6, size=3).astype(np.float32)))
+            jitter = rng.normal(scale=0.5, size=3).astype(np.float32)
+            T_wc = lie.se3(q, jnp.asarray(t + jitter))
+        else:
+            yaw += yaw_rate + rng.normal(scale=0.0005)
+            t = t + np.asarray([np.sin(yaw), 0.0, np.cos(yaw)], np.float32) * speed
+            wob = rng.normal(scale=0.002, size=3).astype(np.float32)
+            q = lie.so3_exp(jnp.asarray([0.0, yaw, 0.0], np.float32) + jnp.asarray(wob))
+            T_wc = lie.se3(q, jnp.asarray(t))
+        poses.append(lie.se3_inverse(T_wc))
+    times = np.arange(n_frames, dtype=np.float64) / 30.0
+    return poses, times
+
+
+class SyntheticSequence:
+    """Iterable frame source mirroring the reference's dataset replay."""
+
+    def __init__(self, n_frames=120, *, width=640, height=480, K=None,
+                 n_points=3000, seed=0, lost_span=None, patch=4):
+        self.world = make_world(n_points, seed=seed)
+        self.K = (
+            K
+            if K is not None
+            else jnp.asarray([width * 0.8, width * 0.8, width / 2 - 0.5, height / 2 - 0.5])
+        )
+        self.width, self.height, self.patch = width, height, patch
+        self.poses_gt, self.times = smooth_trajectory(
+            n_frames, seed=seed + 1, lost_span=lost_span
+        )
+
+    def __len__(self):
+        return len(self.poses_gt)
+
+    def frame(self, i):
+        img = render_frame(
+            self.world, self.K, self.poses_gt[i],
+            width=self.width, height=self.height, patch=self.patch,
+        )
+        return img, float(self.times[i])

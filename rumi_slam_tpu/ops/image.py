@@ -1,0 +1,90 @@
+"""Image primitives: pyramid, separable blur, patch gather (pure JAX).
+
+These replace the OpenCV calls in the reference's ORBextractor
+(/root/reference/src/rumi-slam/lib_src/ORBextractor.cc:1093 ComputePyramid,
+GaussianBlur before descriptor sampling at :1080) with XLA-fusable array ops.
+Images are ``float32 [H, W]`` in [0, 255].
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def resize_bilinear(img, new_hw):
+    return jax.image.resize(img, new_hw, method="linear")
+
+
+def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def sep_conv2d(img, k1d):
+    """Separable 2D convolution with reflect padding, [H,W] float32."""
+    r = (len(k1d) - 1) // 2
+    k = jnp.asarray(k1d)
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    return x
+
+
+def gaussian_blur(img, sigma=2.0, radius=3):
+    return sep_conv2d(img, gaussian_kernel1d(sigma, radius))
+
+
+def build_pyramid(img, n_levels: int, scale_factor: float):
+    """List of images; level i has shape floor(shape / scale^i)."""
+    h, w = img.shape
+    pyr = [img]
+    for i in range(1, n_levels):
+        s = scale_factor ** i
+        pyr.append(resize_bilinear(img, (max(8, int(h / s)), max(8, int(w / s)))))
+    return pyr
+
+
+def max_pool3x3(x):
+    """3x3 max filter, same shape (for NMS)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+
+
+def gather_patches(img, centers_yx, patch_radius: int):
+    """Gather square patches around integer centers.
+
+    Args:
+      img: [H, W] float32.
+      centers_yx: [N, 2] int32 (y, x) patch centers (level coordinates).
+      patch_radius: patches are (2r+1, 2r+1).
+
+    Returns [N, 2r+1, 2r+1].  Centers near the border read into a
+    reflect-padded canvas, so all outputs are well-defined.
+    """
+    r = patch_radius
+    padded = jnp.pad(img, r, mode="reflect")
+    size = 2 * r + 1
+
+    def one(c):
+        return jax.lax.dynamic_slice(padded, (c[0], c[1]), (size, size))
+
+    return jax.vmap(one)(centers_yx)
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def resize_to(img, out_hw):
+    return resize_bilinear(img, out_hw)

@@ -1,0 +1,166 @@
+"""Monocular two-view initialization: essential-matrix RANSAC + cheirality.
+
+TPU-native equivalent of the reference's TwoViewReconstruction
+(/root/reference/src/rumi-slam/lib_src/TwoViewReconstruction.cc — 200x8-point
+RANSAC for H and F in two host threads, model selection, motion decomposition
+and cheirality-checked triangulation; entry via Pinhole::ReconstructWithTwoViews
+at Tracking.cc:2126).  Re-designed as fixed-iteration vmapped hypothesis
+scoring: all RANSAC hypotheses are solved and scored in one batched program —
+no adaptive early exit, no threads.  Calibrated (essential) path only: since
+intrinsics are known, E subsumes the reference's F path; the H path exists to
+rescue pure-planar scenes and is approximated here by rejecting low-parallax
+solutions (the caller retries on later frames, which is also the reference's
+behavior when initialization fails).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie, triangulation
+
+
+class TwoViewResult(NamedTuple):
+    T_21: jnp.ndarray       # [7] pose of view 2 in view-1 frame (world = view 1)
+    points: jnp.ndarray     # [N,3] triangulated in view-1 frame
+    inliers: jnp.ndarray    # [N] bool
+    n_inliers: jnp.ndarray  # scalar int32
+    ok: jnp.ndarray         # scalar bool — enough support to accept
+
+
+def _eight_point(r1, r2):
+    """E from >=8 normalized-ray pairs [M,3] via DLT (smallest eigvec)."""
+    x1, y1 = r1[:, 0] / r1[:, 2], r1[:, 1] / r1[:, 2]
+    x2, y2 = r2[:, 0] / r2[:, 2], r2[:, 1] / r2[:, 2]
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, jnp.ones_like(x1)],
+        axis=-1,
+    )  # [M,9], rows: ray2^T E ray1 = 0
+    ATA = A.T @ A
+    _, V = jnp.linalg.eigh(ATA)
+    return V[:, 0].reshape(3, 3)
+
+
+def _sampson_err(E, r1, r2):
+    """Squared Sampson distance in normalized coords, [N]."""
+    x1 = r1 / r1[:, 2:3]
+    x2 = r2 / r2[:, 2:3]
+    Ex1 = x1 @ E.T
+    Etx2 = x2 @ E
+    num = jnp.sum(x2 * Ex1, axis=-1) ** 2
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _decompose_E(E):
+    """E -> 4 candidate T_21 = (R, t), ||t|| = 1."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # make proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    cands = []
+    for R in (R1, R2):
+        for s in (1.0, -1.0):
+            cands.append(lie.se3(lie.quat_from_matrix(R), s * t))
+    return jnp.stack(cands)  # [4,7]
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def two_view_init(
+    key,
+    ray1,
+    ray2,
+    valid,
+    *,
+    n_hyp: int = 256,
+    focal: float = 525.0,
+    px_thresh: float = 2.0,
+    min_inliers: int = 50,
+    min_parallax_cos: float = 0.9998,
+):
+    """Estimate relative pose + structure from matched rays.
+
+    Args:
+      key: PRNG key for hypothesis sampling.
+      ray1, ray2: [N,3] normalized camera rays of the matches.
+      valid: [N] bool.
+      focal, px_thresh: the Sampson inlier gate is (px_thresh/focal)^2 —
+        stated in PIXELS so it transfers across cameras (the reference
+        hardcodes per-sigma chi2 gates at TUM scale).
+    """
+    sampson_thresh = (px_thresh / focal) ** 2
+    n = ray1.shape[0]
+    probs = valid.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    idx = jax.random.categorical(
+        key, jnp.log(jnp.maximum(probs, 1e-12))[None, :].repeat(n_hyp * 8, 0)
+    ).reshape(n_hyp, 8)
+
+    Es = jax.vmap(lambda ii: _eight_point(ray1[ii], ray2[ii]))(idx)
+    errs = jax.vmap(lambda E: _sampson_err(E, ray1, ray2))(Es)  # [H,N]
+    inl = (errs < sampson_thresh) & valid[None, :]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+    E = Es[best]
+
+    # project to essential manifold
+    U, _, Vt = jnp.linalg.svd(E)
+    E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0])) @ Vt
+
+    cands = _decompose_E(E)  # [4,7]
+    T1 = jnp.broadcast_to(lie.se3_identity(), (n, 7))
+
+    def score_cand(T21):
+        T2 = jnp.broadcast_to(T21, (n, 7))
+        X = triangulation.triangulate_dlt(T1, T2, ray1, ray2)
+        z1 = X[:, 2]
+        z2 = lie.se3_apply(T21, X)[:, 2]
+        err = _sampson_err(E, ray1, ray2)
+        good = (
+            valid
+            & (z1 > 1e-3)
+            & (z2 > 1e-3)
+            & (err < sampson_thresh)
+        )
+        return jnp.sum(good), X, good
+
+    counts, Xs, goods = jax.vmap(score_cand)(cands)
+    bi = jnp.argmax(counts)
+    T_21 = cands[bi]
+    X = Xs[bi]
+    good = goods[bi]
+
+    # parallax gate: median triangulation ray angle must be real
+    c2 = lie.se3_t(lie.se3_inverse(T_21))
+    d1 = X
+    d2 = X - c2
+    cosp = jnp.sum(d1 * d2, -1) / jnp.maximum(
+        jnp.linalg.norm(d1, axis=-1) * jnp.linalg.norm(d2, axis=-1), 1e-12
+    )
+    has_parallax = cosp < min_parallax_cos
+    good = good & has_parallax
+
+    n_inl = jnp.sum(good.astype(jnp.int32))
+    # ambiguity: best candidate must dominate (reference requires a clear
+    # winner among the 4 motions)
+    sorted_counts = jnp.sort(counts)
+    distinct = sorted_counts[-1] > 1.7 * sorted_counts[-2]
+    ok = (n_inl >= min_inliers) & distinct
+
+    # normalize scene scale: median depth of inliers -> 1 (the reference
+    # normalizes by median depth in CreateInitialMapMonocular, Tracking.cc:2143)
+    z = jnp.where(good, X[:, 2], jnp.nan)
+    med = jnp.nanmedian(z)
+    scale = jnp.where(jnp.isfinite(med) & (med > 1e-6), 1.0 / med, 1.0)
+    X = X * scale
+    T_21 = lie.se3(T_21[:4], T_21[4:] * scale)
+
+    return TwoViewResult(T_21=T_21, points=X, inliers=good, n_inliers=n_inl, ok=ok)

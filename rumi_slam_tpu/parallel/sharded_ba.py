@@ -1,0 +1,187 @@
+"""Distributed global bundle adjustment: Schur reduction over ICI collectives.
+
+The reference has no distributed optimizer at all (SURVEY.md §2.5: its only
+"distribution" is ROS TCP between edge and cloud processes); scaling global BA
+across a TPU pod slice is this framework's replacement for the reference's
+single-threaded g2o GlobalBundleAdjustemnt (/root/reference/src/rumi-slam/
+lib_src/Optimizer.cc:48, run in a side thread by CloudMerging.cc:1957).
+
+Sharding contract (mesh axis ``ba``):
+  * POINTS are sharded in blocks; every observation of a point lives on that
+    point's shard.  Hence per-shard Hpp blocks are complete, per-shard cross
+    blocks W are disjoint, and the reduced camera system is ADDITIVE across
+    shards:  S = psum_d [ Hcc_d - W_d Hpp_d^-1 W_d^T ].
+  * Cameras are replicated (the reduced system [6C,6C] is small); each device
+    solves it identically after the psum — no broadcast needed.
+  * Point updates are computed locally per shard; nothing but the [6C,6C]+
+    [6C] Schur terms ever crosses ICI per iteration.
+
+This is the standard distributed-Hessian-assembly recipe mapped onto
+jax.shard_map + psum; on hardware the psum rides ICI rings.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geometry import camera, lie
+from ..optim.ba import _inv3x3
+from ..optim import robust
+
+CHI2_MONO = 5.991
+
+
+def partition_problem(cam_idx, pt_idx, uv, conf, n_points, n_shards):
+    """Host-side repartition: points round-robin by block to shards; every
+    observation follows its point.  Pads per-shard obs counts to the max.
+
+    Returns dict of numpy arrays shaped [D, ...] ready for shard_map, plus
+    the point permutation (shard-major) used to scatter points.
+    """
+    cam_idx = np.asarray(cam_idx)
+    pt_idx = np.asarray(pt_idx)
+    uv = np.asarray(uv)
+    conf = np.asarray(conf)
+
+    pt_shard = pt_idx % n_shards
+    pt_local = pt_idx // n_shards
+    pts_per_shard = (n_points + n_shards - 1) // n_shards
+
+    counts = np.bincount(pt_shard, minlength=n_shards)
+    obs_per_shard = max(int(counts.max()), 1)
+
+    D = n_shards
+    cam_s = np.zeros((D, obs_per_shard), np.int32)
+    ptl_s = np.zeros((D, obs_per_shard), np.int32)
+    uv_s = np.zeros((D, obs_per_shard, 2), np.float32)
+    conf_s = np.zeros((D, obs_per_shard), np.float32)
+    for d in range(D):
+        sel = pt_shard == d
+        n = int(sel.sum())
+        cam_s[d, :n] = cam_idx[sel]
+        ptl_s[d, :n] = pt_local[sel]
+        uv_s[d, :n] = uv[sel]
+        conf_s[d, :n] = conf[sel]
+
+    # point scatter: global point g lives at shard g%D, local row g//D
+    perm = np.arange(pts_per_shard * D).reshape(pts_per_shard, D).T  # [D, ppS]
+    return {
+        "cam_idx": cam_s,
+        "pt_local": ptl_s,
+        "uv": uv_s,
+        "conf": conf_s,
+        "pts_per_shard": pts_per_shard,
+        "point_rows": perm,  # [D, pts_per_shard] global row per local slot
+    }
+
+
+def _shard_terms(K, poses, pts_l, cam_idx, ptl_idx, uv, conf, lam, cam_free_f):
+    """Per-shard assembly of Schur terms (runs inside shard_map)."""
+    C = poses.shape[0]
+    Pl = pts_l.shape[0]
+    pose_o = poses[cam_idx]
+    X_o = pts_l[ptl_idx]
+    r, Jc, Jp, depth = camera.reproj_residual_and_jacobians(K, pose_o, X_o, uv)
+    chi2 = jnp.sum(r * r, axis=-1) * conf
+    w = conf * robust.huber_weight(chi2, CHI2_MONO) * (depth > 0.05)
+    cost = jnp.sum(jnp.where(conf > 0, robust.huber_cost(chi2, CHI2_MONO), 0.0))
+
+    Hcc = jax.ops.segment_sum(jnp.einsum("oki,o,okj->oij", Jc, w, Jc),
+                              cam_idx, num_segments=C)
+    bc = jax.ops.segment_sum(jnp.einsum("oki,o,ok->oi", Jc, w, r),
+                             cam_idx, num_segments=C)
+    Hpp = jax.ops.segment_sum(jnp.einsum("oki,o,okj->oij", Jp, w, Jp),
+                              ptl_idx, num_segments=Pl)
+    bp = jax.ops.segment_sum(jnp.einsum("oki,o,ok->oi", Jp, w, r),
+                             ptl_idx, num_segments=Pl)
+
+    Hcc_d = Hcc + lam * jnp.eye(6) * jnp.maximum(
+        jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6)
+    Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
+        jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6)
+    Hpp_inv = _inv3x3(Hpp_d)
+
+    Wblk = jnp.zeros((Pl, C, 6, 3), poses.dtype).at[ptl_idx, cam_idx].add(
+        jnp.einsum("oki,o,okj->oij", Jc, w, Jp))
+    Y = jnp.einsum("pcij,pjk->pcik", Wblk, Hpp_inv)
+    S_corr = jnp.einsum("pcik,pdmk->cidm", Y, Wblk)
+    S_local = -S_corr
+    diag = jnp.arange(C)
+    S_local = S_local.at[diag, :, diag, :].add(Hcc_d)
+    b_local = bc - jnp.einsum("pcik,pk->ci", Y, bp)
+    return S_local, b_local, Wblk, Hpp_inv, bp, cost
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_iters"))
+def sharded_bundle_adjust(
+    mesh: Mesh, K, poses, points_sh, cam_idx_sh, ptl_idx_sh, uv_sh, conf_sh,
+    cam_free, *, n_iters: int = 8
+):
+    """Run distributed LM-BA.
+
+    Args (sh = GLOBAL arrays sharded along their leading axis by mesh axis
+    "ba"; with D devices each shard sees 1/D of the leading dim):
+      points_sh [D*Pl, 3]; cam_idx_sh/ptl_idx_sh [D*Od]; uv_sh [D*Od, 2];
+      conf_sh [D*Od]; poses [C,7] and cam_free [C] replicated.
+    Returns (poses [C,7], points_sh [D*Pl, 3], final cost).
+    """
+    cam_free_f = cam_free.astype(jnp.float32)
+
+    def step(poses, pts_l, cam_idx, ptl_idx, uv, conf, lam):
+        C = poses.shape[0]
+        S_local, b_local, Wblk, Hpp_inv, bp, cost = _shard_terms(
+            K, poses, pts_l, cam_idx, ptl_idx, uv, conf, lam, cam_free_f)
+        S = jax.lax.psum(S_local, "ba")
+        b_red = jax.lax.psum(b_local, "ba")
+        cost_tot = jax.lax.psum(cost, "ba")
+
+        diag = jnp.arange(C)
+        S = S * cam_free_f[:, None, None, None] * cam_free_f[None, None, :, None]
+        S = S.at[diag, :, diag, :].add(jnp.eye(6) * (1.0 - cam_free_f)[:, None, None])
+        b_red = b_red * cam_free_f[:, None]
+
+        Sd = S.reshape(C * 6, C * 6) + 1e-8 * jnp.eye(C * 6)
+        dxc = -jnp.linalg.solve(Sd, b_red.reshape(C * 6)).reshape(C, 6)
+        dxc = dxc * cam_free_f[:, None]
+
+        t_p = jnp.einsum("pcik,ci->pk", Wblk, dxc)
+        dxp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + t_p)
+        return lie.se3_retract(poses, dxc), pts_l + dxp, cost_tot
+
+    def eval_cost(poses, pts_l, cam_idx, ptl_idx, uv, conf):
+        pose_o = poses[cam_idx]
+        X_o = pts_l[ptl_idx]
+        r, _, _, _ = camera.reproj_residual_and_jacobians(K, pose_o, X_o, uv)
+        chi2 = jnp.sum(r * r, axis=-1) * conf
+        c = jnp.sum(jnp.where(conf > 0, robust.huber_cost(chi2, CHI2_MONO), 0.0))
+        return jax.lax.psum(c, "ba")
+
+    def shard_body(poses, pts_l, cam_idx, ptl_idx, uv, conf):
+        def body(carry, _):
+            poses, pts_l, lam = carry
+            cost0 = eval_cost(poses, pts_l, cam_idx, ptl_idx, uv, conf)
+            new_poses, new_pts, _ = step(poses, pts_l, cam_idx, ptl_idx, uv, conf, lam)
+            cost1 = eval_cost(new_poses, new_pts, cam_idx, ptl_idx, uv, conf)
+            accept = cost1 < cost0
+            poses = jnp.where(accept, new_poses, poses)
+            pts_l = jnp.where(accept, new_pts, pts_l)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e4)
+            return (poses, pts_l, lam), cost1
+
+        (poses, pts_l, _), costs = jax.lax.scan(
+            body, (poses, pts_l, jnp.float32(1e-4)), None, length=n_iters)
+        return poses, pts_l, costs[-1]
+
+    fn = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P("ba"), P("ba"), P("ba"), P("ba"), P("ba")),
+        out_specs=(P(), P("ba"), P()),
+        check_vma=False,
+    )
+    return fn(poses, points_sh, cam_idx_sh, ptl_idx_sh, uv_sh, conf_sh)

@@ -1,0 +1,205 @@
+"""RuminationCoordinator: glues sampler, backend, and merge into a SlamSystem.
+
+Plays the role of the reference's edge-node orchestration around the cloud
+action client (/root/reference/src/rumi-slam/src/cloud_edge_main.cpp:460-542 —
+poll upload bundle, send actionlib goal, receive CloudMap, InsertCloudMap ->
+CloudMerging queue) plus the CloudMerging::Run driver (CloudMerging.cc:96-412:
+merge cloud->front then back->front, retire the back map, make the merged map
+current).
+
+The coordinator owns a frame ring buffer (timestamp -> image) standing in for
+the reference's per-map image retention (KeyFrame::SetImgGray /
+Atlas::ClearOldMapImages) and a LostFrameSampler.  ``synchronous=True`` runs
+the backend inline (the reference's wait_cloud_result mode); asynchronous
+deployment moves ``_run_rumination`` onto the rumination shard.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..geometry import lie
+from ..mapstate import map_state as M
+from ..system import SlamSystem, TrackState
+from . import cloud_map as CM
+from . import merge as merge_mod
+from .backend import RuminationBackend
+from .sampler import BundleAssembler, LostFrameSampler, RecordedFrame
+
+
+def insert_cloud_map(ms: M.MapState, cm: CM.CloudMap, map_id):
+    """Import a CloudMap into the MapState as submap ``map_id``."""
+    desc = cm.kf_desc
+    if desc is None:
+        desc = jnp.zeros(cm.kf_uv.shape[:2] + (8,), jnp.uint32)
+    angle = cm.kf_angle
+    if angle is None:
+        angle = jnp.zeros(cm.kf_uv.shape[:2], jnp.float32)
+
+    # points first: remap table old row -> new row
+    pt_desc = jnp.zeros((cm.pt_xyz.shape[0], 8), jnp.uint32)
+    ms, pt_ids = M.add_points(
+        ms, cm.pt_xyz, pt_desc, cm.pt_valid, ms.n_kf, map_id=map_id
+    )
+    remap = jnp.where(cm.kf_point >= 0, pt_ids[jnp.clip(cm.kf_point, 0)], -1)
+
+    ms, kf_ids = M.add_keyframes_bulk(
+        ms, cm.kf_pose, cm.kf_uv, cm.kf_octave, angle, desc,
+        cm.kf_feat_valid, remap, cm.kf_time, cm.kf_valid,
+        map_id=map_id, is_cloud=True,
+    )
+    return ms, kf_ids
+
+
+def correct_pose(T_cw, S):
+    """Re-express a camera pose after its world was transformed by Sim3 S."""
+    Q = lie.sim3_compose(lie.sim3_from_se3(T_cw), lie.sim3_inverse(S))
+    return lie.se3(Q[:4], Q[4:7] / lie.sim3_scale(Q))
+
+
+class RuminationCoordinator:
+    def __init__(self, slam: SlamSystem, config: Optional[Config] = None,
+                 *, backend: Optional[RuminationBackend] = None,
+                 ring_capacity: int = 600):
+        self.slam = slam
+        self.cfg = config or slam.cfg
+        self.sampler = LostFrameSampler(self.cfg.sampler)
+        self.assembler = BundleAssembler(self.cfg.sampler)
+        self.backend = backend or RuminationBackend(self.cfg)
+        self.ring: list[RecordedFrame] = []
+        self.ring_capacity = ring_capacity
+        self.front_map_id: Optional[int] = None
+        self.merged_maps: set[int] = set()
+        self.key = jax.random.PRNGKey(42)
+        self.history: list[dict] = []
+        slam.image_recorder = self.on_frame
+
+    # ------------------------------------------------------------------
+    def on_frame(self, img, t: float, state: TrackState):
+        self.ring.append(RecordedFrame(t, np.asarray(img)))
+        if len(self.ring) > self.ring_capacity:
+            self.ring.pop(0)
+        if state in (TrackState.RECENTLY_LOST, TrackState.LOST,
+                     TrackState.NOT_INITIALIZED):
+            if self.slam.stats["n_new_maps"] > 0 or state != TrackState.NOT_INITIALIZED:
+                self.sampler.record(jnp.asarray(img), t)
+
+    # ------------------------------------------------------------------
+    def _frames_for_times(self, times: np.ndarray) -> list[RecordedFrame]:
+        out = []
+        ring_t = np.asarray([f.time for f in self.ring])
+        for t in times:
+            if len(ring_t) == 0:
+                break
+            j = int(np.argmin(np.abs(ring_t - t)))
+            if abs(ring_t[j] - t) < 1e-4:
+                out.append(self.ring[j])
+        return out
+
+    def maybe_ruminate(self) -> Optional[dict]:
+        """Call once per frame (or less) from the driver loop.  When two
+        un-merged submaps exist and the new one passes the maturity gates,
+        runs the full rumination: bundle -> backend -> insert -> double merge.
+        Returns an info dict when a merge was attempted."""
+        slam = self.slam
+        ms = slam.ms
+        n_maps = int(ms.n_maps)
+        active = int(ms.active_map)
+        if n_maps < 2 or active in self.merged_maps:
+            return None
+        front = active - 1
+        while front in self.merged_maps and front > 0:
+            front -= 1
+        if front == active or front < 0:
+            return None
+        # maturity gates on the new (edge-back) map
+        sc = self.cfg.sampler
+        n_back = int(M.map_kf_count(ms, active))
+        dur = float(M.map_duration(ms, active))
+        if n_back < sc.n_new_track_first or dur < sc.min_time_s:
+            return None
+        if int(M.map_kf_count(ms, front)) < 2:
+            self.merged_maps.add(front)
+            return None
+        return self._run_rumination(front, active)
+
+    # ------------------------------------------------------------------
+    def _run_rumination(self, front: int, back: int) -> dict:
+        slam = self.slam
+        ms = slam.ms
+        info: dict = {"front": front, "back": back}
+
+        # --- assemble bundle (front tail KFs + lost frames + back head KFs)
+        kf_t = np.asarray(ms.kf_time)
+        kf_m = np.asarray(ms.kf_map_id)
+        kf_v = np.asarray(ms.kf_valid)
+        t_front = np.sort(kf_t[(kf_m == front) & kf_v])
+        t_back = np.sort(kf_t[(kf_m == back) & kf_v])
+        bundle = self.assembler.assemble(
+            self._frames_for_times(t_front),
+            self.sampler.all_frames,
+            self._frames_for_times(t_back),
+        )
+        if bundle is None:
+            info["result"] = "bundle_too_small"
+            self.history.append(info)
+            return info
+        info["bundle_size"] = len(bundle)
+
+        # --- backend builds the cloud submap
+        cm = self.backend.build(bundle)
+        if cm is None:
+            info["result"] = "backend_failed"
+            self.history.append(info)
+            return info
+
+        # --- import + double merge (cloud->front, back->front)
+        cloud_id = int(ms.n_maps)
+        ms = ms._replace(n_maps=ms.n_maps + 1)
+        ms, _ = insert_cloud_map(ms, cm, cloud_id)
+
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        ms, ok1, i1 = merge_mod.merge_submaps(
+            ms, slam.K, cloud_id, front, self.cfg.merge, k1
+        )
+        info["cloud_merge"] = i1
+        if not ok1:
+            # drop the cloud map, keep tracking in the back map
+            ms = ms._replace(
+                kf_valid=ms.kf_valid & (ms.kf_map_id != cloud_id),
+                pt_valid=ms.pt_valid & (ms.pt_map_id != cloud_id),
+            )
+            slam.ms = ms
+            info["result"] = "cloud_merge_failed"
+            self.merged_maps.add(back)  # don't retry forever
+            self.history.append(info)
+            return info
+
+        ms, ok2, i2 = merge_mod.merge_submaps(
+            ms, slam.K, back, front, self.cfg.merge, k2
+        )
+        info["back_merge"] = i2
+        if ok2:
+            # tracking continues in the merged (front) map; correct the
+            # tracker's cached pose by the back-map transform
+            ms = ms._replace(active_map=jnp.int32(front))
+            slam.ms = ms
+            # the back map world moved: recompute last_pose from its KF
+            if slam.last_kf_id >= 0:
+                slam.last_pose = ms.kf_pose[slam.last_kf_id]
+                slam.velocity = lie.se3_identity()
+            self.merged_maps.add(back)
+            self.merged_maps.add(cloud_id)
+            self.sampler.reset()
+            info["result"] = "merged"
+        else:
+            slam.ms = ms
+            self.merged_maps.add(back)
+            info["result"] = "back_merge_failed"
+        self.history.append(info)
+        return info

@@ -1,0 +1,340 @@
+"""SlamSystem: the host-side orchestrator (facade + tracking state machine).
+
+TPU-native equivalent of the reference's System facade + Tracking state
+machine (/root/reference/src/rumi-slam/lib_src/System.cc:42-248,
+Tracking.cc:1551-2320 Track() with states NO_IMAGES_YET / NOT_INITIALIZED /
+OK / RECENTLY_LOST / LOST, Tracking.h:134-142).  The C++ 5-thread
+architecture becomes: per-frame jitted array programs dispatched from a thin
+Python loop; mapping runs synchronously after keyframe insertion on immutable
+MapState snapshots (versioned state instead of mMutexMapUpdate); the
+rumination builder/merger are separate modules (rumination/) the host invokes
+with snapshots.
+
+Host-side state is deliberately tiny: the state enum, constant-velocity
+model, keyframe cadence counters, and the lost-frame recorder feeding the
+rumination sampler.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .geometry import lie
+from .mapstate import map_state as M
+from .ops import matcher, orb
+from .optim import ba, two_view
+from .tracking import local_mapping, tracker
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    RECENTLY_LOST = 2
+    LOST = 3
+
+
+class SlamSystem:
+    def __init__(self, config: Config | None = None, *, image_recorder=None):
+        self.cfg = config or Config()
+        self.K = self.cfg.intrinsics()
+        mc = self.cfg.mapping
+        self.ms = M.empty(mc.max_kf, self.cfg.orb.n_features, mc.max_pt)
+        self.state = TrackState.NOT_INITIALIZED
+        self.velocity = lie.se3_identity()      # T_cur_prev
+        self.last_pose = lie.se3_identity()
+        self.last_kf_id: int = -1
+        self.last_kf_obs: int = 0
+        self.frames_since_kf = 0
+        self.key = jax.random.PRNGKey(0)
+        self.lost_since: Optional[float] = None
+        self._init_feats = None
+        self._init_time = None
+        # trajectory log: (time, pose_cw [7] np, map_id, state)
+        self.trajectory: list[tuple[float, np.ndarray, int, str]] = []
+        # hook for the rumination sampler: called with (img, time, state)
+        self.image_recorder = image_recorder
+        self.stats = {"n_kf": 0, "n_reloc": 0, "n_new_maps": 0, "n_lost_frames": 0}
+
+    # ------------------------------------------------------------------
+    def _extract(self, img):
+        o = self.cfg.orb
+        return orb.extract_orb(
+            img,
+            n_features=o.n_features,
+            n_levels=o.n_levels,
+            scale_factor=o.scale_factor,
+            threshold=o.ini_th_fast,
+            min_threshold=o.min_th_fast,
+            cell=o.cell,
+            k_cell=o.k_cell,
+        )
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, img, t: float):
+        """Process one grayscale frame (float32 [H,W]); returns the state."""
+        feats = self._extract(img)
+        if self.image_recorder is not None:
+            self.image_recorder(img, t, self.state)
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._try_initialize(feats, t)
+        elif self.state == TrackState.OK:
+            self._track_ok(feats, t)
+        elif self.state == TrackState.RECENTLY_LOST:
+            self._track_recently_lost(feats, t)
+        if self.state == TrackState.LOST:
+            self._handle_lost(feats, t)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats, t):
+        cfg = self.cfg
+        if self._init_feats is None:
+            if int(jnp.sum(feats.valid)) > 100:
+                self._init_feats = feats
+                self._init_time = t
+            return
+        f0 = self._init_feats
+        mask = matcher.radius_mask(f0.uv, feats.uv, 100.0)
+        idx, _ = matcher.match_descriptors(
+            f0, feats, mask=mask, max_dist=matcher.TH_LOW, ratio=0.9
+        )
+        n_matches = int(jnp.sum(idx >= 0))
+        if n_matches < 80:
+            # too little overlap: make the newer frame the init reference
+            self._init_feats = feats
+            self._init_time = t
+            return
+
+        from .geometry import camera as cam
+
+        matched = idx >= 0
+        r1 = cam.unproject(self.K, f0.uv)
+        r2 = cam.unproject(self.K, feats.uv[jnp.clip(idx, 0)])
+        res = two_view.two_view_init(
+            self._next_key(), r1, r2, matched, min_inliers=60,
+            focal=float(self.K[0]),
+        )
+        if not bool(res.ok):
+            return
+        self._create_initial_map(f0, feats, idx, res, t)
+
+    def _create_initial_map(self, f0, f1, idx, res: two_view.TwoViewResult, t):
+        """Two keyframes + triangulated points + full BA (reference
+        CreateInitialMapMonocular, Tracking.cc:2143)."""
+        ms = self.ms
+        F = ms.max_feat
+        # allocate points for inliers (indexed by f0 feature row)
+        ms, ids = M.add_points(ms, res.points, f0.desc, res.inliers, ms.n_kf)
+        assoc0 = jnp.where(ids >= 0, ids, -1)
+        # f1 associations: scatter by match index
+        assoc1 = jnp.full((F,), -1, jnp.int32).at[
+            jnp.clip(idx, 0)
+        ].max(jnp.where((idx >= 0) & (ids >= 0), ids, -1))
+
+        T0 = lie.se3_identity()
+        ms, kf0 = M.insert_keyframe(ms, T0, f0, self._init_time or t, assoc0)
+        ms, kf1 = M.insert_keyframe(ms, res.T_21, f1, t, assoc1)
+
+        # full BA on the baby map, first KF fixed (gauge); scale was already
+        # normalized to median depth 1 by two_view_init
+        cam_idx = jnp.repeat(jnp.arange(2), F)
+        pt = jnp.concatenate([assoc0, assoc1])
+        uv = jnp.concatenate([f0.uv, f1.uv])
+        conf = (pt >= 0).astype(jnp.float32)
+        bres = ba.bundle_adjust(
+            self.K, ms.kf_pose[:2], ms.pt_xyz, cam_idx, jnp.clip(pt, 0), uv,
+            conf, jnp.asarray([False, True]), ms.pt_valid, n_iters=12,
+        )
+        ms = ms._replace(
+            kf_pose=ms.kf_pose.at[:2].set(bres.poses), pt_xyz=bres.points
+        )
+        self.ms = ms
+        self.last_kf_id = int(kf1)
+        self.last_kf_obs = int(jnp.sum(assoc1 >= 0))
+        self.last_pose = ms.kf_pose[kf1]
+        self.velocity = lie.se3_identity()
+        self.frames_since_kf = 0
+        self.state = TrackState.OK
+        self.stats["n_kf"] += 2
+        self._init_feats = None
+        self._log_pose(t, self.last_pose)
+
+    # ------------------------------------------------------------------
+    def _track_ok(self, feats, t):
+        cfg = self.cfg.tracking
+        cam = self.cfg.camera
+        pose_pred = lie.se3_compose(self.velocity, self.last_pose)
+        ms, tr = tracker.track_frame(
+            self.ms, self.K, feats, pose_pred, cfg.match_radius,
+            img_w=cam.width, img_h=cam.height,
+            max_hamming=cfg.max_hamming, nn_ratio=cfg.nn_ratio,
+        )
+        self.ms = ms
+        if int(tr.n_inliers) < cfg.min_track_inliers:
+            # fallback: reference-KF tracking (no motion prior)
+            tr = tracker.track_reference_kf(
+                self.ms, self.K, feats, self.last_kf_id, self.last_pose
+            )
+            if int(tr.n_inliers) < cfg.min_track_inliers:
+                # wider window from predicted pose as a last resort
+                ms, tr = tracker.track_frame(
+                    self.ms, self.K, feats, pose_pred, cfg.match_radius_wide,
+                    img_w=cam.width, img_h=cam.height,
+                    max_hamming=matcher.TH_HIGH, nn_ratio=0.95,
+                )
+                self.ms = ms
+        if int(tr.n_inliers) < cfg.min_track_inliers:
+            self.state = TrackState.RECENTLY_LOST
+            self.lost_since = t
+            return
+
+        new_pose = tr.pose
+        self.velocity = lie.se3_compose(new_pose, lie.se3_inverse(self.last_pose))
+        self.last_pose = new_pose
+        self.frames_since_kf += 1
+        self._log_pose(t, new_pose)
+
+        if self._need_new_keyframe(tr):
+            self._create_keyframe(feats, new_pose, t, tr.assoc)
+
+    def _need_new_keyframe(self, tr: tracker.TrackResult) -> bool:
+        cfg = self.cfg.tracking
+        if self.frames_since_kf < cfg.kf_min_interval:
+            return False
+        weak = int(tr.n_inliers) < cfg.kf_tracked_ratio * max(self.last_kf_obs, 1)
+        stale = self.frames_since_kf >= 15
+        return weak or stale
+
+    def _create_keyframe(self, feats, pose, t, assoc):
+        ms = self.ms
+        if int(ms.n_kf) >= ms.max_kf:
+            return
+        ms, kid = M.insert_keyframe(ms, pose, feats, t, assoc)
+        # triangulate vs the best covisible neighbors (reference
+        # CreateNewMapPoints uses 10-20; two suffice at our feature budget)
+        ids, valid_w = M.local_window(ms, kid, window=3)
+        for j in range(1, 3):
+            if bool(valid_w[j]) and int(ids[j]) != int(kid):
+                ms, n_new = local_mapping.triangulate_with_neighbor(
+                    ms, self.K, kid, ids[j]
+                )
+        ms = local_mapping.local_bundle_adjustment(
+            ms, self.K, kid,
+            window=self.cfg.mapping.local_window,
+            n_iters=self.cfg.mapping.local_ba_iters,
+        )
+        ms = local_mapping.cull_points(ms)
+        self.ms = ms
+        self.last_kf_id = int(kid)
+        self.last_kf_obs = int(jnp.sum(ms.kf_point[kid] >= 0))
+        self.last_pose = ms.kf_pose[kid]
+        self.frames_since_kf = 0
+        self.stats["n_kf"] += 1
+
+    # ------------------------------------------------------------------
+    def _track_recently_lost(self, feats, t):
+        cfg = self.cfg.tracking
+        self.stats["n_lost_frames"] += 1
+        # relocalization attempt (reference Relocalization, Tracking.cc:3212)
+        cand_ids, scores = tracker.relocalization_candidates(self.ms, feats)
+        for rank in range(int(cand_ids.shape[0])):
+            if int(scores[rank]) < 10:
+                break
+            kf = int(cand_ids[rank])
+            tr = tracker.track_reference_kf(
+                self.ms, self.K, feats, kf, self.ms.kf_pose[kf]
+            )
+            if int(tr.n_inliers) >= cfg.min_track_inliers:
+                self.state = TrackState.OK
+                self.last_pose = tr.pose
+                self.velocity = lie.se3_identity()
+                self.last_kf_id = kf
+                self.stats["n_reloc"] += 1
+                self._log_pose(t, tr.pose)
+                return
+        if self.lost_since is not None and t - self.lost_since > cfg.reloc_window_s:
+            self.state = TrackState.LOST
+
+    def _handle_lost(self, feats, t):
+        """On LOST: either start a new submap (edge-back) or reset the active
+        map, per the reference's quality gates (Tracking.cc:1924-1941)."""
+        cfg = self.cfg.tracking
+        ms = self.ms
+        n_kf = int(M.map_kf_count(ms, ms.active_map))
+        dur = float(M.map_duration(ms, ms.active_map))
+        if n_kf >= cfg.new_map_min_kf and dur >= cfg.new_map_min_duration_s:
+            # freeze current map; open a new submap (CreateMapInAtlas)
+            new_id = int(ms.n_maps)
+            self.ms = ms._replace(
+                active_map=jnp.int32(new_id), n_maps=ms.n_maps + 1
+            )
+            self.stats["n_new_maps"] += 1
+        else:
+            # reset active map: invalidate its KFs and points
+            sel_kf = ms.kf_map_id == ms.active_map
+            sel_pt = ms.pt_map_id == ms.active_map
+            self.ms = ms._replace(
+                kf_valid=ms.kf_valid & ~sel_kf,
+                pt_valid=ms.pt_valid & ~sel_pt,
+            )
+        self.state = TrackState.NOT_INITIALIZED
+        self._init_feats = None
+        self.lost_since = None
+        self.last_kf_id = -1
+
+    # ------------------------------------------------------------------
+    def _log_pose(self, t, pose):
+        self.trajectory.append(
+            (t, np.asarray(pose), int(self.ms.active_map), self.state.name)
+        )
+
+    def keyframe_trajectory(self, map_id=None):
+        """(times, poses_cw) of the KEYFRAMES of one submap — what the
+        reference exports for evaluation (CloudSaveKeyFrameTrajectoryTUM,
+        cloud_edge_main.cpp:319; KeyFrame.cc:31).  Default: duration-longest
+        map (Atlas::GetDurationLongestMap)."""
+        ms = self.ms
+        kf_v = np.asarray(ms.kf_valid)
+        kf_m = np.asarray(ms.kf_map_id)
+        kf_t = np.asarray(ms.kf_time)
+        if map_id is None:
+            best, best_dur = 0, -1.0
+            for m in range(int(ms.n_maps)):
+                sel = kf_v & (kf_m == m)
+                if sel.sum() >= 2:
+                    dur = kf_t[sel].max() - kf_t[sel].min()
+                    if dur > best_dur:
+                        best, best_dur = m, dur
+            map_id = best
+        sel = kf_v & (kf_m == map_id)
+        order = np.argsort(kf_t[sel])
+        return kf_t[sel][order], np.asarray(ms.kf_pose)[sel][order]
+
+    def trajectory_of_map(self, map_id=None):
+        """(times, poses_cw [N,7]) of frames tracked in one submap; default =
+        duration-longest map (reference exports GetDurationLongestMap,
+        cloud_edge_main.cpp:319-324)."""
+        if not self.trajectory:
+            return np.zeros(0), np.zeros((0, 7))
+        if map_id is None:
+            ids = sorted({m for _, _, m, _ in self.trajectory})
+            durations = {}
+            for m in ids:
+                ts = [t for t, _, mm, _ in self.trajectory if mm == m]
+                durations[m] = max(ts) - min(ts) if len(ts) > 1 else 0.0
+            map_id = max(durations, key=durations.get)
+        rows = [(t, p) for t, p, m, _ in self.trajectory if m == map_id]
+        times = np.asarray([r[0] for r in rows])
+        poses = np.stack([r[1] for r in rows]) if rows else np.zeros((0, 7))
+        return times, poses

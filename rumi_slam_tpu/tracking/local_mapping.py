@@ -1,0 +1,168 @@
+"""Local mapping: new-point triangulation, local BA, culling (jitted).
+
+TPU-native equivalent of the reference's LocalMapping thread
+(/root/reference/src/rumi-slam/lib_src/LocalMapping.cc): CreateNewMapPoints
+(:354 — epipolar search + two-view triangulation), the local-BA call (:149 ->
+Optimizer.cc:1003) and MapPointCulling (:320).  Instead of a mapping thread
+mutating shared state under mutexes, these are pure MapState -> MapState
+functions the host applies after keyframe insertion.
+
+Design notes:
+* Points keep their GLOBAL slot index inside the bundle-adjustment problem —
+  per-point 3x3 Schur blocks are cheap at full capacity, so local BA only
+  compacts cameras (the window), never points.
+* The epipolar search mask replaces ORBmatcher::SearchForTriangulation's
+  BoW-bucketed scan with |ray2^T E ray1| gating on the dense distance matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera, lie, triangulation
+from ..mapstate import map_state as M
+from ..ops import matcher
+from ..optim import ba
+
+
+def octave_inv_sigma2(octave, scale_factor=1.2):
+    return 1.0 / (scale_factor ** (2.0 * octave.astype(jnp.float32)))
+
+
+@partial(jax.jit, static_argnames=())
+def triangulate_with_neighbor(ms: M.MapState, K, kf_new, kf_ref, *,
+                              max_hamming=matcher.TH_LOW, nn_ratio=0.75,
+                              epipolar_eps=2e-3, max_new=256):
+    """Create new map points between two keyframes.
+
+    Matches un-associated features of ``kf_new`` against un-associated
+    features of ``kf_ref`` under an epipolar gate, triangulates, validates
+    (cheirality/parallax/reprojection), and appends accepted points.
+    """
+    del max_new  # capacity bounded by feature count
+    T1 = ms.kf_pose[kf_new]
+    T2 = ms.kf_pose[kf_ref]
+
+    free1 = ms.kf_feat_valid[kf_new] & (ms.kf_point[kf_new] < 0)
+    free2 = ms.kf_feat_valid[kf_ref] & (ms.kf_point[kf_ref] < 0)
+
+    r1 = camera.unproject(K, ms.kf_uv[kf_new])  # [F,3]
+    r2 = camera.unproject(K, ms.kf_uv[kf_ref])
+    E = triangulation.essential_from_poses(T1, T2)  # ray2^T E ray1 = 0
+    # normalized epipolar residual: epi[f1, f2] = |r2[f2]^T E r1[f1]| / |E r1[f1]|
+    Er1 = r1 @ E.T  # [F1,3]
+    epi = jnp.abs(jnp.einsum("fi,gi->fg", Er1, r2))  # [F1, F2]
+    n1 = jnp.linalg.norm(Er1[:, :2], axis=-1, keepdims=True)
+    epi = epi / jnp.maximum(n1, 1e-9)
+
+    dist = matcher.hamming_matrix(ms.kf_desc[kf_new], ms.kf_desc[kf_ref])
+    idx, _ = matcher.match(
+        dist, free1, free2, mask=epi < epipolar_eps,
+        max_dist=max_hamming, ratio=nn_ratio,
+    )
+    matched = idx >= 0
+    i2 = jnp.clip(idx, 0)
+
+    X = triangulation.triangulate_dlt(
+        jnp.broadcast_to(T1, r1.shape[:1] + (7,)),
+        jnp.broadcast_to(T2, r1.shape[:1] + (7,)),
+        r1,
+        r2[i2],
+    )
+    ok = matched & triangulation.triangulation_checks(
+        K, T1, T2, ms.kf_uv[kf_new], ms.kf_uv[kf_ref][i2], X
+    )
+
+    ms, ids = M.add_points(
+        ms, X, ms.kf_desc[kf_new], ok, kf_new
+    )
+    # write associations into both KFs
+    assoc_new = jnp.where(ids >= 0, ids, ms.kf_point[kf_new])
+    ms = ms._replace(kf_point=ms.kf_point.at[kf_new].set(assoc_new))
+    # ref KF: scatter ids at matched feature rows
+    ref_row = ms.kf_point[kf_ref]
+    upd = jnp.full_like(ref_row, -1).at[i2].max(jnp.where(ok, ids, -1))
+    ms = ms._replace(
+        kf_point=ms.kf_point.at[kf_ref].set(jnp.where(upd >= 0, upd, ref_row))
+    )
+    return ms, jnp.sum(ok.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("window", "n_iters"))
+def local_bundle_adjustment(ms: M.MapState, K, kf_id, *, window: int = 8,
+                            n_iters: int = 6):
+    """Windowed BA around ``kf_id``: the covisibility window is adjustable
+    (minus the two lowest-id anchors for gauge), all observed points are free.
+
+    The reference additionally fixes a boundary ring of KFs observing window
+    points (Optimizer.cc:1041-1055); here gauge anchoring is by the two oldest
+    window KFs — with functional snapshots the rest of the map cannot drift
+    mid-update, so the ring is an accuracy refinement deferred to the welding
+    BA (rumination.merge).
+    """
+    W = window
+    ids, valid_w = M.local_window(ms, kf_id, window=W)
+    F = ms.max_feat
+
+    poses_w = ms.kf_pose[ids]
+    cam_idx = jnp.repeat(jnp.arange(W), F)
+    pt = ms.kf_point[ids].reshape(-1)
+    uv = ms.kf_uv[ids].reshape(-1, 2)
+    octv = ms.kf_octave[ids].reshape(-1)
+    conf = (
+        (pt >= 0)
+        & ms.kf_feat_valid[ids].reshape(-1)
+        & jnp.repeat(valid_w, F)
+    ).astype(jnp.float32) * octave_inv_sigma2(octv)
+
+    # gauge: hold the two oldest (smallest slot id) valid window members
+    big = jnp.int32(1 << 30)
+    order = jnp.where(valid_w, ids, big)
+    anchor1 = jnp.min(order)
+    sec = jnp.where(order == anchor1, big, order)
+    anchor2 = jnp.min(sec)
+    cam_free = valid_w & (ids != anchor1) & (ids != anchor2)
+
+    res = ba.bundle_adjust(
+        K, poses_w, ms.pt_xyz, cam_idx, jnp.clip(pt, 0), uv, conf,
+        cam_free, ms.pt_valid, n_iters=n_iters,
+    )
+
+    # write back window poses and all points
+    new_kf_pose = ms.kf_pose.at[ids].set(
+        jnp.where(valid_w[:, None], res.poses, ms.kf_pose[ids])
+    )
+    ms = ms._replace(kf_pose=new_kf_pose, pt_xyz=res.points)
+
+    # drop outlier observations (reference erases high-chi2 edges after LBA)
+    inl = res.inlier_obs.reshape(W, F)
+    kf_point = ms.kf_point
+    for w in range(W):  # static unroll — W is small
+        row = kf_point[ids[w]]
+        row = jnp.where((conf.reshape(W, F)[w] > 0) & ~inl[w], -1, row)
+        row = jnp.where(valid_w[w], row, kf_point[ids[w]])
+        kf_point = kf_point.at[ids[w]].set(row)
+    return ms._replace(kf_point=kf_point)
+
+
+@jax.jit
+def cull_points(ms: M.MapState, *, min_found_ratio=0.25, min_obs=2,
+                grace_obs=3):
+    """Map-point culling (reference LocalMapping::MapPointCulling:320):
+    drop points whose found/visible ratio is poor or that lost observations.
+    Points seen by >= ``grace_obs`` KFs are kept regardless of ratio."""
+    obs = M.point_obs_count(ms)
+    ratio = ms.pt_found / jnp.maximum(ms.pt_visible, 1.0)
+    bad = ms.pt_valid & (
+        ((ratio < min_found_ratio) & (obs < grace_obs)) | (obs < min_obs)
+    )
+    pt_valid = ms.pt_valid & ~bad
+    # detach from keyframes
+    bad_ref = bad[jnp.clip(ms.kf_point, 0)] & (ms.kf_point >= 0)
+    return ms._replace(
+        pt_valid=pt_valid,
+        kf_point=jnp.where(bad_ref, -1, ms.kf_point),
+    )
