@@ -38,6 +38,8 @@ class MapConfig:
     local_window: int = 8        # KFs in local BA window
     local_ba_iters: int = 6
     min_covis_weight: int = 15
+    # reference launch/main.launch:33 kf_culling (default false)
+    kf_culling: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,126 @@
+"""Experiment harness: per-run result.csv + statistical repetition driver.
+
+Reproduces the reference's metric schema and repeat protocol: the per-run
+``result.csv`` writer (/root/reference/src/rumi-slam/src/cloud_edge_main.cpp:
+350-382 — ate, rate, duration, front/back cloud match counts, lost/new-map
+timestamps, upload sizes) and the 30x repetition harness
+(scripts/repeat.sh + scripts/utils/export_results.py harvesting into
+experiment_results.csv — SLAM is RANSAC-nondeterministic, so distributions,
+not single runs, are the pass signal).
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+RESULT_COLUMNS = [
+    "dataset", "ate", "rate", "duration", "runtime_s",
+    "front_cloud_match_num", "back_cloud_match_num",
+    "lost_timestamp", "new_map_timestamp",
+    "n_kf", "n_points", "n_maps", "n_merges", "merge_inlier_ratio",
+    "bundle_frames", "rss_mb",
+]
+
+
+def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
+             realtime_pace: bool = False) -> dict:
+    """Run the full system over a sequence; return a result-row dict."""
+    import jax
+
+    from ..evaluation import ate as ate_mod
+    from ..mapstate import map_state as M
+    from ..rumination.coordinator import RuminationCoordinator
+    from ..system import SlamSystem
+
+    slam = SlamSystem(config)
+    slam.key = jax.random.PRNGKey(seed)
+    coord = RuminationCoordinator(slam, config) if enable_rumination else None
+
+    t_start = time.perf_counter()
+    for i in range(len(seq)):
+        img, t = seq.frame(i)
+        slam.track_monocular(img, t)
+        if coord is not None:
+            coord.maybe_ruminate()
+    runtime = time.perf_counter() - t_start
+
+    gt_t = np.asarray(seq.times)
+    gt_p = np.stack([np.asarray(p) for p in seq.poses_gt])
+    times, poses = slam.trajectory_of_map()
+    m = ate_mod.evaluate_trajectory(times, poses, gt_t, gt_p)
+
+    merges = [h for h in (coord.history if coord else []) if h.get("result") == "merged"]
+    lost_ts = [t for t, _, _, s in slam.trajectory if s == "RECENTLY_LOST"]
+    try:
+        from ..runtime import native
+
+        rss_mb = native.rss_bytes() / 1e6
+    except Exception:
+        rss_mb = -1.0
+
+    ms = slam.ms
+    return {
+        "dataset": getattr(seq, "name", "synthetic"),
+        "ate": m["ate"],
+        "rate": m["rate"],
+        "duration": float(gt_t[-1] - gt_t[0]) if len(gt_t) > 1 else 0.0,
+        "runtime_s": runtime,
+        "front_cloud_match_num": merges[0]["cloud_merge"]["n_pt_pairs"] if merges else 0,
+        "back_cloud_match_num": merges[0]["back_merge"]["n_pt_pairs"] if merges else 0,
+        "lost_timestamp": lost_ts[0] if lost_ts else -1.0,
+        "new_map_timestamp": -1.0 if slam.stats["n_new_maps"] == 0 else lost_ts[-1] if lost_ts else -1.0,
+        "n_kf": slam.stats["n_kf"],
+        "n_points": int(np.asarray(ms.pt_valid).sum()),
+        "n_maps": int(ms.n_maps),
+        "n_merges": len(merges),
+        "merge_inlier_ratio": merges[0]["cloud_merge"].get("inlier_ratio", 0.0) if merges else 0.0,
+        "bundle_frames": merges[0].get("bundle_size", 0) if merges else 0,
+        "rss_mb": rss_mb,
+    }
+
+
+def write_result_csv(row: dict, path) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=RESULT_COLUMNS)
+        w.writeheader()
+        w.writerow({k: row.get(k, "") for k in RESULT_COLUMNS})
+
+
+def repeat_experiment(seq_factory, config, *, repeats: int = 5,
+                      out_dir: Optional[str] = None,
+                      enable_rumination: bool = True) -> list[dict]:
+    """Reference repeat.sh equivalent: N independent runs, aggregate CSV."""
+    rows = []
+    for r in range(repeats):
+        seq = seq_factory(r)
+        row = run_once(seq, config, seed=r, enable_rumination=enable_rumination)
+        row["repeat"] = r
+        rows.append(row)
+        if out_dir:
+            write_result_csv(row, Path(out_dir) / f"run_{r:03d}" / "result.csv")
+    if out_dir:
+        agg = Path(out_dir) / "experiment_results.csv"
+        with open(agg, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["repeat"] + RESULT_COLUMNS)
+            w.writeheader()
+            for row in rows:
+                w.writerow({k: row.get(k, "") for k in ["repeat"] + RESULT_COLUMNS})
+    return rows
+
+
+def summarize(rows: list[dict]) -> dict:
+    ates = [r["ate"] for r in rows if np.isfinite(r["ate"])]
+    return {
+        "n": len(rows),
+        "n_finite": len(ates),
+        "ate_median": float(np.median(ates)) if ates else float("inf"),
+        "ate_mean": float(np.mean(ates)) if ates else float("inf"),
+        "rate_mean": float(np.mean([r["rate"] for r in rows])),
+    }

@@ -230,6 +230,20 @@ def set_associations(ms: MapState, kf_id, assoc):
     return ms._replace(kf_point=ms.kf_point.at[kf_id].set(assoc))
 
 
+def refresh_point_descriptors(ms: MapState, kf_id):
+    """Update observed points' representative descriptors from one KF's
+    features.  Streaming stand-in for the reference's min-median-Hamming
+    ComputeDistinctiveDescriptors (MapPoint.cc): the most recent observation
+    wins, which tracks appearance change (scale/viewpoint) for matching."""
+    pt = ms.kf_point[kf_id]
+    ok = (pt >= 0) & ms.kf_feat_valid[kf_id]
+    tgt = jnp.clip(pt, 0)
+    upd = ms.pt_desc.at[tgt].set(
+        jnp.where(ok[:, None], ms.kf_desc[kf_id], ms.pt_desc[tgt])
+    )
+    return ms._replace(pt_desc=upd)
+
+
 def incidence(ms: MapState, map_id=None):
     """Boolean KF x point observation incidence B [K, P]."""
     K, F, P = ms.max_kf, ms.max_feat, ms.max_pt

@@ -60,6 +60,9 @@ class SlamSystem:
         # hook for the rumination sampler: called with (img, time, state)
         self.image_recorder = image_recorder
         self.stats = {"n_kf": 0, "n_reloc": 0, "n_new_maps": 0, "n_lost_frames": 0}
+        from .utils.profiling import StageTimer
+
+        self.timer = StageTimer()  # reference REGISTER_TIMES equivalent
 
     # ------------------------------------------------------------------
     def _extract(self, img):
@@ -82,16 +85,20 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def track_monocular(self, img, t: float):
         """Process one grayscale frame (float32 [H,W]); returns the state."""
-        feats = self._extract(img)
+        with self.timer.stage("orb_extract"):
+            feats = self._extract(img)
         if self.image_recorder is not None:
             self.image_recorder(img, t, self.state)
 
         if self.state == TrackState.NOT_INITIALIZED:
-            self._try_initialize(feats, t)
+            with self.timer.stage("initialize"):
+                self._try_initialize(feats, t)
         elif self.state == TrackState.OK:
-            self._track_ok(feats, t)
+            with self.timer.stage("track"):
+                self._track_ok(feats, t)
         elif self.state == TrackState.RECENTLY_LOST:
-            self._track_recently_lost(feats, t)
+            with self.timer.stage("relocalize"):
+                self._track_recently_lost(feats, t)
         if self.state == TrackState.LOST:
             self._handle_lost(feats, t)
         return self.state
@@ -217,6 +224,14 @@ class SlamSystem:
         return weak or stale
 
     def _create_keyframe(self, feats, pose, t, assoc):
+        self._timer_ctx = self.timer.stage("keyframe")
+        self._timer_ctx.__enter__()
+        try:
+            self._create_keyframe_inner(feats, pose, t, assoc)
+        finally:
+            self._timer_ctx.__exit__(None, None, None)
+
+    def _create_keyframe_inner(self, feats, pose, t, assoc):
         ms = self.ms
         if int(ms.n_kf) >= ms.max_kf:
             return
@@ -235,6 +250,9 @@ class SlamSystem:
             n_iters=self.cfg.mapping.local_ba_iters,
         )
         ms = local_mapping.cull_points(ms)
+        ms = M.refresh_point_descriptors(ms, kid)
+        if self.cfg.mapping.kf_culling and self.stats["n_kf"] % 4 == 0:
+            ms = local_mapping.cull_keyframes(ms, kid)
         self.ms = ms
         self.last_kf_id = int(kid)
         self.last_kf_obs = int(jnp.sum(ms.kf_point[kid] >= 0))

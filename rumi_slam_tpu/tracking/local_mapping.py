@@ -148,6 +148,41 @@ def local_bundle_adjustment(ms: M.MapState, K, kf_id, *, window: int = 8,
     return ms._replace(kf_point=kf_point)
 
 
+@partial(jax.jit, static_argnames=("max_cull",))
+def cull_keyframes(ms: M.MapState, kf_current, *, redundancy=0.9,
+                   min_redundant_obs=4, protect_recent=3, max_cull: int = 4):
+    """Keyframe culling (reference LocalMapping::CloudKeyFrameCulling:820,
+    switchable via the ``kf_culling`` launch flag): a KF is redundant when
+    >= ``redundancy`` of its tracked points are observed by at least 3 other
+    keyframes.  Cloud KFs are never culled (the reference skips
+    descriptor-less cloud KFs at :857-859), nor are the most recent
+    ``protect_recent`` slots or the two map-origin KFs.
+    """
+    obs = M.point_obs_count(ms)  # [P]
+    pt_red = obs >= min_redundant_obs
+    has_pt = ms.kf_point >= 0
+    red_per_kf = jnp.sum(
+        has_pt & pt_red[jnp.clip(ms.kf_point, 0)], axis=1
+    ).astype(jnp.float32)
+    tot_per_kf = jnp.maximum(jnp.sum(has_pt, axis=1).astype(jnp.float32), 1.0)
+    ratio = red_per_kf / tot_per_kf
+
+    slot = jnp.arange(ms.max_kf)
+    cullable = (
+        ms.kf_valid
+        & ~ms.kf_is_cloud
+        & (ratio > redundancy)
+        & (slot < kf_current - protect_recent)
+        & (slot >= 2)
+    )
+    # cap the number culled per call (stability): keep the most redundant
+    score = jnp.where(cullable, ratio, -1.0)
+    _, top = jax.lax.top_k(score, max_cull)
+    kill = jnp.zeros(ms.max_kf, bool).at[top].set(score[top] > 0)
+    kf_point = jnp.where(kill[:, None], -1, ms.kf_point)
+    return ms._replace(kf_valid=ms.kf_valid & ~kill, kf_point=kf_point)
+
+
 @jax.jit
 def cull_points(ms: M.MapState, *, min_found_ratio=0.25, min_obs=2,
                 grace_obs=3):

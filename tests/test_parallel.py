@@ -39,9 +39,15 @@ def make_problem(n_cams=6, n_pts=64, seed=3):
 
 class TestShardedBA:
     def test_matches_single_device(self):
-        devs = jax.devices()
-        assert len(devs) >= 8, "conftest must force 8 virtual devices"
-        mesh = Mesh(np.array(devs[:8]), ("ba",))
+        import pytest
+
+        from conftest import cpu_mesh_devices
+
+        devs = cpu_mesh_devices(8)
+        if devs is None:
+            pytest.skip("needs XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+                        "set before Python starts")
+        mesh = Mesh(np.array(devs), ("ba",))
         D = 8
         poses, poses_n, X_n, cam_idx, pt_idx, uv, conf = make_problem()
         n_pts = X_n.shape[0]

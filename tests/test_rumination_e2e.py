@@ -1,0 +1,52 @@
+"""Full rumination end-to-end: tracking loss -> back submap -> double merge.
+
+The synthetic trajectory contains a violent-shake span that breaks tracking
+(the reference's fr1_floor-style loss event); the system must open an
+edge-back submap, the sampler must assemble an upload bundle, the backend
+must reconstruct the gap, and the merge must weld everything into one map
+whose trajectory scores a finite ATE over BOTH sides of the loss.
+"""
+
+import numpy as np
+import pytest
+
+from rumi_slam_tpu.config import tiny_config
+from rumi_slam_tpu.evaluation import ate
+from rumi_slam_tpu.io.synthetic import SyntheticSequence
+from rumi_slam_tpu.rumination.coordinator import RuminationCoordinator
+from rumi_slam_tpu.system import SlamSystem
+
+
+@pytest.mark.slow
+def test_rumination_end_to_end():
+    seq = SyntheticSequence(
+        n_frames=110, width=320, height=240, n_points=2000, seed=11,
+        patch=3, lost_span=(45, 55),
+    )
+    cfg = tiny_config()
+    slam = SlamSystem(cfg)
+    coord = RuminationCoordinator(slam, cfg)
+
+    merged = False
+    for i in range(len(seq)):
+        img, t = seq.frame(i)
+        slam.track_monocular(img, t)
+        info = coord.maybe_ruminate()
+        if info and info.get("result") == "merged":
+            merged = True
+
+    # loss must have occurred and a new submap opened
+    assert slam.stats["n_new_maps"] >= 1, slam.stats
+    # the rumination must have merged the maps back together
+    assert merged, f"no merge: {coord.history}"
+
+    # merged-map KF trajectory must span both sides of the loss and be sane
+    kt, kp = slam.keyframe_trajectory()
+    assert kt.min() < seq.times[40] and kt.max() > seq.times[60], (
+        "merged trajectory does not span the loss gap"
+    )
+    gt_t = np.asarray(seq.times)
+    gt_p = np.stack([np.asarray(p) for p in seq.poses_gt])
+    m = ate.evaluate_trajectory(kt, kp, gt_t, gt_p)
+    assert np.isfinite(m["ate"])
+    assert m["ate"] < 0.3, m
