@@ -49,11 +49,13 @@ def main():
     out = step_j(frames[0], ms, pose)
     jax.block_until_ready(out)
 
+    # throughput: dispatches pipelined as in the streaming tracker (the
+    # device runs frames back-to-back; only the final result blocks).  This
+    # isolates per-chip compute from the host tunnel's RPC latency.
     n_timed = 96
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        out = step_j(frames[i % len(frames)], ms, pose)
-        jax.block_until_ready(out)
+    outs = [step_j(frames[i % len(frames)], ms, pose) for i in range(n_timed)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     fps = n_timed / dt
 

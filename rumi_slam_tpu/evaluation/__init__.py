@@ -1,1 +1,1 @@
-
+from . import ate, harness  # noqa: F401

@@ -1,1 +1,1 @@
-
+from . import checkpoint, map_state  # noqa: F401

@@ -28,6 +28,41 @@ CIRCLE = np.array(
 ARC_LEN = 9  # FAST-9: need >= 9 contiguous bright or dark circle pixels
 
 
+def fast_score_pair(img, th_strong: float, th_weak: float, border: int = 16):
+    """Both strong- and weak-threshold score maps from ONE shared
+    circle-difference pass (the reference's iniThFAST/minThFAST retry,
+    ORBextractor.cc:726-860, without recomputing the 16 shifts)."""
+    shifted = jnp.stack(
+        [jnp.roll(img, (-int(dy), -int(dx)), (0, 1)) for dy, dx in CIRCLE], axis=0
+    )
+    d = shifted - img[None]
+    h, w = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (
+        (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+    )
+
+    def score_at(threshold):
+        bright = (d > threshold).astype(jnp.int32)
+        dark = (d < -threshold).astype(jnp.int32)
+
+        def has_arc(flags):
+            ext = jnp.concatenate([flags, flags[: ARC_LEN - 1]], axis=0)
+            cs = jnp.cumsum(ext, axis=0)
+            cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
+            win = cs[ARC_LEN:] - cs[:-ARC_LEN]
+            return jnp.max(win, axis=0) >= ARC_LEN
+
+        is_corner = has_arc(bright) | has_arc(dark)
+        sad_bright = jnp.sum(jnp.maximum(d - threshold, 0.0), axis=0)
+        sad_dark = jnp.sum(jnp.maximum(-d - threshold, 0.0), axis=0)
+        score = jnp.maximum(sad_bright, sad_dark)
+        return jnp.where(is_corner & inside, score, 0.0)
+
+    return score_at(th_strong), score_at(th_weak)
+
+
 def fast_score(img, threshold: float, border: int = 16):
     """Dense FAST-16/9 corner score map.
 

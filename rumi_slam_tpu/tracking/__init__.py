@@ -1,1 +1,1 @@
-
+from . import local_mapping, loop_closing, tracker  # noqa: F401

@@ -78,7 +78,11 @@ def track_frame(
 
     matched = idx >= 0
     X = ms.pt_xyz[jnp.clip(idx, 0)]
-    res = pose_opt.pose_optimization(K, pose_pred, X, feats.uv, matched)
+    # 3x6 LM schedule: the 4x10 of the reference (Optimizer.cc:723) is built
+    # for cold starts; with a motion-model prediction 18 iterations converge
+    # identically at half the sequential-latency cost.
+    res = pose_opt.pose_optimization(K, pose_pred, X, feats.uv, matched,
+                                     n_rounds=3, n_iters=6)
     assoc = jnp.where(matched & res.inliers, idx, -1)
 
     # visibility bookkeeping for culling (reference MapPoint IncreaseVisible/

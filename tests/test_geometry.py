@@ -117,7 +117,13 @@ class TestCamera:
         np.testing.assert_allclose(back, x, atol=1e-4)
 
     def test_jacobians_match_autodiff(self):
-        T = rand_se3()
+        # well-conditioned pose: small rotation, point stays at depth ~4
+        # (a fully random pose can place the point near z=0 where float32
+        # Jacobian magnitudes explode and AD-vs-analytic diverges in noise)
+        T = lie.se3(
+            lie.so3_exp(jnp.asarray([0.05, -0.1, 0.08])),
+            jnp.asarray([0.2, -0.3, 0.1]),
+        )
         X = jnp.asarray([0.3, -0.2, 4.0])
         uv = jnp.asarray([100.0, 120.0])
         r, J_pose, J_point, depth = camera.reproj_residual_and_jacobians(
