@@ -18,4 +18,18 @@ Design stance (vs the reference C++ at /root/reference):
     rumination shard on separate devices (``rumination``, ``parallel``).
 """
 
+import jax as _jax
+
+# Geometry Jacobians, Hessian assembly, Schur reduction, and Horn/Umeyama
+# correlation matrices are all small float matmuls whose accuracy directly
+# bounds optimizer convergence; on TPU the MXU default (bfloat16 inputs)
+# injects ~2e-3 relative error into them.  Force true float32 matmuls.
+# The Hamming matchers are int8 dot_generals with an int32 accumulator and
+# are unaffected by this setting.
+import os as _os
+
+_prec = _os.environ.get("RUMI_MATMUL_PRECISION", "float32")
+if _prec != "default":
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 __version__ = "0.1.0"

@@ -1,1 +1,1 @@
-from . import alignment, camera, lie, triangulation  # noqa: F401
+from . import alignment, camera, camera_kb8, lie, triangulation  # noqa: F401

@@ -79,3 +79,32 @@ def reproj_residual_and_jacobians(K, T_cw, X_w, uv_obs):
     R = lie.quat_to_matrix(T_cw[..., :4])
     J_point = jnp.einsum("...ij,...jk->...ik", Jp, R)
     return r, J_pose, J_point, x_cam[..., 2]
+
+
+def reproj_residual_and_jacobians_stereo(K, bf, T_cw, X_w, uv_obs, ur_obs):
+    """Stereo (or RGB-D virtual-right) residual: r = [u-û, v-v̂, u_r-û_r]
+    with û_r = û - bf/ẑ (reference g2o EdgeStereoSE3ProjectXYZ semantics,
+    Optimizer.cc:54/723 stereo edges; bf = fx * baseline).
+
+    ``ur_obs`` rows < 0 denote mono-only observations — the caller masks the
+    third residual row (its value is still well-defined here).
+
+    Returns (r [...,3], J_pose [...,3,6], J_point [...,3,3], depth [...]).
+    """
+    x_cam = lie.se3_apply(T_cw, X_w)
+    z = x_cam[..., 2]
+    zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    uv_hat = project(K, x_cam)
+    ur_hat = uv_hat[..., 0] - bf * zi
+    r = jnp.concatenate(
+        [uv_hat - uv_obs, (ur_hat - ur_obs)[..., None]], axis=-1
+    )
+    Jp2 = project_jacobian_point(K, x_cam)  # [...,2,3]
+    # d û_r / d x_cam = d û / d x_cam + bf/z^2 * e_z
+    row_ur = Jp2[..., 0, :] + (bf * zi * zi)[..., None] * jnp.asarray([0.0, 0.0, 1.0])
+    Jp = jnp.concatenate([Jp2, row_ur[..., None, :]], axis=-2)  # [...,3,3]
+    J_omega = -jnp.einsum("...ij,...jk->...ik", Jp, lie.hat(x_cam))
+    J_pose = jnp.concatenate([J_omega, Jp], axis=-1)  # [...,3,6]
+    R = lie.quat_to_matrix(T_cw[..., :4])
+    J_point = jnp.einsum("...ij,...jk->...ik", Jp, R)
+    return r, J_pose, J_point, z

@@ -1,1 +1,1 @@
-from . import synthetic, trajectory  # noqa: F401
+from . import datasets, synthetic, trajectory  # noqa: F401

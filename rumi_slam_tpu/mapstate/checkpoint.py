@@ -19,7 +19,7 @@ import numpy as np
 
 from . import map_state as M
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: added kf_ur (stereo/RGB-D virtual right coords)
 
 
 def save(ms: M.MapState, path: str | Path) -> str:

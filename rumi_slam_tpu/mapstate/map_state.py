@@ -37,6 +37,9 @@ class MapState(NamedTuple):
     kf_octave: jnp.ndarray     # [K,F] int32
     kf_angle: jnp.ndarray      # [K,F] float32
     kf_desc: jnp.ndarray       # [K,F,8] uint32
+    kf_ur: jnp.ndarray         # [K,F] float32 virtual right u-coordinate
+                               #   (stereo/RGB-D; <0 = mono observation —
+                               #   reference Frame::mvuRight)
     kf_feat_valid: jnp.ndarray # [K,F] bool
     kf_point: jnp.ndarray      # [K,F] int32 — point id or -1
     kf_time: jnp.ndarray       # [K] float32 seconds
@@ -79,6 +82,7 @@ def empty(max_kf: int = 256, max_feat: int = 512, max_pt: int = 16384) -> MapSta
         kf_octave=jnp.zeros((K, F), jnp.int32),
         kf_angle=jnp.zeros((K, F), jnp.float32),
         kf_desc=jnp.zeros((K, F, 8), jnp.uint32),
+        kf_ur=jnp.full((K, F), -1.0, jnp.float32),
         kf_feat_valid=jnp.zeros((K, F), bool),
         kf_point=jnp.full((K, F), -1, jnp.int32),
         kf_time=jnp.zeros((K,), jnp.float32),
@@ -100,7 +104,8 @@ def empty(max_kf: int = 256, max_feat: int = 512, max_pt: int = 16384) -> MapSta
 
 
 def insert_keyframe(
-    ms: MapState, pose, feats, time, point_assoc, *, map_id=None, is_cloud=False
+    ms: MapState, pose, feats, time, point_assoc, *, map_id=None,
+    is_cloud=False, ur=None
 ):
     """Append a keyframe at slot ``ms.n_kf`` (no-op if map is full).
 
@@ -124,6 +129,9 @@ def insert_keyframe(
         kf_octave=wr(ms.kf_octave, feats.octave),
         kf_angle=wr(ms.kf_angle, feats.angle),
         kf_desc=wr(ms.kf_desc, feats.desc),
+        kf_ur=wr(ms.kf_ur,
+                 jnp.full((ms.max_feat,), -1.0, jnp.float32)
+                 if ur is None else ur.astype(jnp.float32)),
         kf_feat_valid=wr(ms.kf_feat_valid, feats.valid),
         kf_point=wr(ms.kf_point, jnp.where(feats.valid, point_assoc, -1)),
         kf_time=wr(ms.kf_time, jnp.float32(time)),
@@ -167,6 +175,8 @@ def add_keyframes_bulk(
         kf_octave=scatter(ms.kf_octave, octave),
         kf_angle=scatter(ms.kf_angle, angle),
         kf_desc=scatter(ms.kf_desc, desc),
+        # bulk-imported (cloud) KFs are monocular: ur stays -1 in new slots
+        kf_ur=jnp.where(wmask[:, None], -1.0, ms.kf_ur),
         kf_feat_valid=jnp.where(wmask[:, None],
                                 scatter(ms.kf_feat_valid, feat_valid),
                                 ms.kf_feat_valid),

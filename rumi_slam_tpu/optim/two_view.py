@@ -32,17 +32,27 @@ class TwoViewResult(NamedTuple):
     ok: jnp.ndarray         # scalar bool — enough support to accept
 
 
-def _eight_point(r1, r2):
-    """E from >=8 normalized-ray pairs [M,3] via DLT (smallest eigvec)."""
+def _eight_point(r1, r2, w=None):
+    """E from >=8 normalized-ray pairs [M,3] via DLT (smallest eigvec).
+    Optional per-row weights ``w`` [M] turn this into the weighted LS
+    refinement used after RANSAC."""
     x1, y1 = r1[:, 0] / r1[:, 2], r1[:, 1] / r1[:, 2]
     x2, y2 = r2[:, 0] / r2[:, 2], r2[:, 1] / r2[:, 2]
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, jnp.ones_like(x1)],
         axis=-1,
     )  # [M,9], rows: ray2^T E ray1 = 0
+    if w is not None:
+        A = A * w[:, None]
     ATA = A.T @ A
     _, V = jnp.linalg.eigh(ATA)
     return V[:, 0].reshape(3, 3)
+
+
+def _to_essential(E):
+    """Project onto the essential manifold (two equal singular values)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0])) @ Vt
 
 
 def _sampson_err(E, r1, r2):
@@ -109,11 +119,20 @@ def two_view_init(
     inl = (errs < sampson_thresh) & valid[None, :]
     scores = jnp.sum(inl, axis=-1)
     best = jnp.argmax(scores)
-    E = Es[best]
+    E = _to_essential(Es[best])
 
-    # project to essential manifold
-    U, _, Vt = jnp.linalg.svd(E)
-    E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0])) @ Vt
+    # Weighted-LS refinement on the consensus set (2 IRLS rounds): an
+    # 8-point minimal fit is far too noisy to decompose directly — with
+    # near-forward motion the recovered translation direction can be tens
+    # of degrees off even when every match is an epipolar inlier.  The
+    # reference gets the same effect from its 200-iteration adaptive
+    # RANSAC + per-model refinement (TwoViewReconstruction.cc).
+    def refine(E, _):
+        w = ((_sampson_err(E, ray1, ray2) < sampson_thresh) & valid).astype(
+            jnp.float32)
+        return _to_essential(_eight_point(ray1, ray2, w)), None
+
+    E, _ = jax.lax.scan(refine, E, None, length=2)
 
     cands = _decompose_E(E)  # [4,7]
     T1 = jnp.broadcast_to(lie.se3_identity(), (n, 7))
@@ -137,6 +156,43 @@ def two_view_init(
     T_21 = cands[bi]
     X = Xs[bi]
     good = goods[bi]
+
+    # Nonlinear refinement: the algebraic 8-point solution is biased under
+    # near-forward motion (the translation direction can sit tens of degrees
+    # off with every match an epipolar inlier).  Gold-standard fix: minimize
+    # REPROJECTION error of the triangulated structure — a tiny two-view
+    # bundle adjustment in normalized coordinates (K = I, one free camera).
+    # The reference's equivalent is ReconstructF/ReconstructH's
+    # triangulation-checked model scoring + the full BA it runs right after
+    # initialization (Tracking.cc:2143).
+    from . import ba as _ba
+
+    poses2 = jnp.stack([lie.se3_identity(), T_21])
+    x1n = ray1[:, :2] / ray1[:, 2:3]
+    x2n = ray2[:, :2] / ray2[:, 2:3]
+    conf = good.astype(jnp.float32) * (focal * focal)  # 1px sigma, normalized
+    bres = _ba.bundle_adjust(
+        jnp.asarray([1.0, 1.0, 0.0, 0.0]),
+        poses2,
+        X,
+        jnp.concatenate([jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32)]),
+        jnp.concatenate([jnp.arange(n), jnp.arange(n)]),
+        jnp.concatenate([x1n, x2n]),
+        jnp.concatenate([conf, conf]),
+        jnp.asarray([False, True]),
+        good,
+        n_iters=8,
+    )
+    T_21 = bres.poses[1]
+    X = bres.points
+    # keep unit-ish translation gauge for the downstream scale normalization
+    tnorm = jnp.linalg.norm(T_21[4:7])
+    gscale = 1.0 / jnp.maximum(tnorm, 1e-9)
+    T_21 = lie.se3(T_21[:4], T_21[4:7] * gscale)
+    X = X * gscale
+    good = good & bres.inlier_obs[:n] & bres.inlier_obs[n:]
+    z2 = lie.se3_apply(jnp.broadcast_to(T_21, (n, 7)), X)[:, 2]
+    good = good & (X[:, 2] > 1e-3) & (z2 > 1e-3)
 
     # parallax gate: median triangulation ray angle must be real
     c2 = lie.se3_t(lie.se3_inverse(T_21))
