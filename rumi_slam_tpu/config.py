@@ -16,6 +16,15 @@ class CameraConfig:
     width: int = 640
     height: int = 480
     fps: float = 30.0
+    # stereo / RGB-D (reference Settings: Camera.bf, ThDepth, DepthMapFactor)
+    baseline: float = 0.0            # meters; 0 = monocular
+    th_depth: float = 40.0           # close/far point gate (x baseline units
+                                     # in the reference; meters here)
+    depth_factor: float = 5000.0     # raw TUM depth png units per meter
+
+    @property
+    def bf(self) -> float:
+        return self.fx * self.baseline
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,9 +62,14 @@ class TrackConfig:
     kf_min_interval: int = 3         # frames between KFs (min)
     kf_tracked_ratio: float = 0.8    # new KF if inliers < ratio * ref KF obs
     reloc_window_s: float = 3.0      # reference Tracking.cc:1716
-    # new-submap gates on LOST (reference Tracking.cc:1924-1933)
+    min_init_depth_points: int = 100  # stereo/RGB-D init gate (ref: 500 kp)
+    max_new_depth_points: int = 128   # per-KF depth-created points (ref: 100)
+    # new-submap gates on LOST (reference Tracking.cc:1924-1933:
+    # KF count, duration, AND trajectory curvature = path/chord;
+    # curvature default 0.0 = disabled, CloudImageSampler.h:80)
     new_map_min_kf: int = 10
     new_map_min_duration_s: float = 1.0
+    new_map_min_curvature: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +83,10 @@ class SamplerConfig:
     pd_setpoint: float = 12.0        # target mean optical-flow magnitude
     max_track_last: int = 50
     min_bundle: int = 30
+    # maturity gate on the edge-back map's trajectory curvature
+    # (reference nNewTrackFirstMinTrajCurvature, CloudImageSampler.h:80 —
+    # default 0.0 = disabled)
+    min_traj_curvature: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

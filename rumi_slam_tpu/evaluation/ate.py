@@ -39,11 +39,14 @@ def ate_rmse(p_est, p_gt, *, with_scale=True):
 
 
 def evaluate_trajectory(times_est, poses_est_cw, times_gt, poses_gt_cw,
-                        *, max_dt=0.02):
+                        *, max_dt=0.02, with_scale=True):
     """Full evo-style evaluation.
 
     Args:
       poses_*_cw: [N,7] world->camera; positions are camera centers.
+      with_scale: Sim3 alignment (True, the monocular default — evo
+        ``correct_scale=True``) vs SE3-only (False, for metric-scale
+        stereo/RGB-D evaluation).
     Returns dict(ate, rate, n_matched).
     """
     ie, ig = associate_by_time(times_est, times_gt, max_dt)
@@ -53,7 +56,7 @@ def evaluate_trajectory(times_est, poses_est_cw, times_gt, poses_gt_cw,
 
     c_est = lie.se3_t(jax.vmap(lie.se3_inverse)(jnp.asarray(np.asarray(poses_est_cw)[ie])))
     c_gt = lie.se3_t(jax.vmap(lie.se3_inverse)(jnp.asarray(np.asarray(poses_gt_cw)[ig])))
-    ate = ate_rmse(c_est, c_gt)
+    ate = ate_rmse(c_est, c_gt, with_scale=with_scale)
     dur_est = float(np.asarray(times_est)[ie].max() - np.asarray(times_est)[ie].min())
     dur_gt = float(np.asarray(times_gt).max() - np.asarray(times_gt).min())
     return {

@@ -23,7 +23,7 @@ RESULT_COLUMNS = [
     "front_cloud_match_num", "back_cloud_match_num",
     "lost_timestamp", "new_map_timestamp",
     "n_kf", "n_points", "n_maps", "n_merges", "merge_inlier_ratio",
-    "bundle_frames", "rss_mb",
+    "bundle_frames", "upload_mb", "rss_mb",
 ]
 
 
@@ -80,6 +80,7 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
         "n_merges": len(merges),
         "merge_inlier_ratio": merges[0]["cloud_merge"].get("inlier_ratio", 0.0) if merges else 0.0,
         "bundle_frames": merges[0].get("bundle_size", 0) if merges else 0,
+        "upload_mb": sum(h.get("upload_mb", 0.0) for h in (coord.history if coord else [])),
         "rss_mb": rss_mb,
     }
 

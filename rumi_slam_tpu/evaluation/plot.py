@@ -59,6 +59,71 @@ def plot_trajectory(path, times_est, poses_est_cw, times_gt=None,
     plt.close(fig)
 
 
+def draw_frame(path, img, feats, assoc=None, *, state="OK", title=None):
+    """Frame overlay with extracted/tracked features — the reference's
+    FrameDrawer (FrameDrawer.cc:1-439: green = tracked map points, blue =
+    extracted-only keypoints, status bar text)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = np.asarray(img)
+    uv = np.asarray(feats.uv)
+    valid = np.asarray(feats.valid)
+    fig, ax = plt.subplots(figsize=(img.shape[1] / 80, img.shape[0] / 80))
+    ax.imshow(img, cmap="gray", vmin=0, vmax=255)
+    if assoc is not None:
+        tracked = valid & (np.asarray(assoc) >= 0)
+        ax.plot(uv[valid & ~tracked, 0], uv[valid & ~tracked, 1], "b.", ms=2)
+        ax.plot(uv[tracked, 0], uv[tracked, 1], "g+", ms=5)
+        n_tr = int(tracked.sum())
+    else:
+        ax.plot(uv[valid, 0], uv[valid, 1], "b.", ms=2)
+        n_tr = 0
+    ax.set_title(
+        title or f"{state} | kp: {int(valid.sum())} tracked: {n_tr}"
+    )
+    ax.set_axis_off()
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=90, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_covisibility(path, ms, *, min_weight=15, title="covisibility"):
+    """KF covisibility-graph drawing (MapDrawer::DrawKeyFrames graph lines:
+    edges between KFs sharing >= min_weight points)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import jax
+    import jax.numpy as jnp
+    import matplotlib.pyplot as plt
+
+    from ..geometry import lie
+    from ..mapstate import map_state as M
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    W = np.asarray(M.covisibility(ms))
+    kf_ok = np.asarray(ms.kf_valid)
+    centers = np.asarray(
+        lie.se3_t(jax.vmap(lie.se3_inverse)(jnp.asarray(ms.kf_pose)))
+    )
+    ii, jj = np.nonzero(np.triu(W, 1) >= min_weight)
+    for a, b in zip(ii, jj):
+        if kf_ok[a] and kf_ok[b]:
+            ax.plot(centers[[a, b], 0], centers[[a, b], 2], "g-", lw=0.4,
+                    alpha=0.5)
+    ax.plot(centers[kf_ok, 0], centers[kf_ok, 2], "r.", ms=4)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.set_title(title)
+    ax.set_aspect("equal", adjustable="datalim")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_map(path, ms, *, title="map"):
     """Top-down map scatter: points colored per submap + KF trajectory."""
     import matplotlib

@@ -51,6 +51,7 @@ class Preintegrated(NamedTuple):
     JPg: jnp.ndarray  # [3,3]
     JPa: jnp.ndarray  # [3,3]
     cov: jnp.ndarray  # [9,9] order (phi, v, p)
+    cov_walk: jnp.ndarray  # [6,6] accumulated bias random-walk covariance
     dt: jnp.ndarray  # [] total time
     bias: ImuBias  # linearization point
 
@@ -76,6 +77,8 @@ def preintegrate(
     *,
     gyro_noise: float = 1.7e-4,
     acc_noise: float = 2.0e-3,
+    gyro_walk: float = 1.9e-5,
+    acc_walk: float = 3.0e-3,
 ) -> Preintegrated:
     """Integrate a (padded) batch of IMU samples into one Preintegrated delta.
 
@@ -89,9 +92,15 @@ def preintegrate(
     dt = jnp.asarray(dt, jnp.float32)
     Ng2 = gyro_noise * gyro_noise
     Na2 = acc_noise * acc_noise
+    # per-sample bias random-walk covariance = walk_density^2 * dt
+    # (reference Calib CovWalk = diag(ngw^2, naw^2)/freq, accumulated into
+    # C.block<6,6>(9,9) each IntegrateNewMeasurement, ImuTypes.cc:249)
+    walk_diag = jnp.asarray(
+        [gyro_walk**2] * 3 + [acc_walk**2] * 3, jnp.float32
+    )
 
     def step(carry, x):
-        dq, dv, dp, JRg, JVg, JVa, JPg, JPa, cov, T = carry
+        dq, dv, dp, JRg, JVg, JVa, JPg, JPa, cov, cov_walk, T = carry
         w, a, h = x
         w = w - bias.bg
         a = a - bias.ba
@@ -120,6 +129,7 @@ def preintegrate(
             h, 1e-9
         )
         cov_new = A @ cov @ A.T + B @ Nga @ B.T
+        cov_walk_new = cov_walk + jnp.diag(walk_diag * h)
 
         # bias Jacobians (ImuTypes.cc:252-258)
         JPa_new = JPa + JVa * h - 0.5 * R * h * h
@@ -132,18 +142,21 @@ def preintegrate(
 
         live = h > 0
         new = (dq_new, dv_new, dp_new, JRg_new, JVg_new, JVa_new, JPg_new,
-               JPa_new, cov_new, T + h)
-        old = (dq, dv, dp, JRg, JVg, JVa, JPg, JPa, cov, T)
+               JPa_new, cov_new, cov_walk_new, T + h)
+        old = (dq, dv, dp, JRg, JVg, JVa, JPg, JPa, cov, cov_walk, T)
         carry = jax.tree.map(lambda n, o: jnp.where(live, n, o), new, old)
         return carry, None
 
-    I3, Z3 = jnp.eye(3), jnp.zeros((3, 3))
+    Z3 = jnp.zeros((3, 3))
+    # all bias Jacobians start at ZERO (reference Preintegrated::Initialize)
     init = (lie.quat_identity(), jnp.zeros(3), jnp.zeros(3),
-            I3, Z3, Z3, Z3, Z3, jnp.zeros((9, 9)), jnp.float32(0.0))
-    (dq, dv, dp, JRg, JVg, JVa, JPg, JPa, cov, T), _ = jax.lax.scan(
+            Z3, Z3, Z3, Z3, Z3, jnp.zeros((9, 9)), jnp.zeros((6, 6)),
+            jnp.float32(0.0))
+    (dq, dv, dp, JRg, JVg, JVa, JPg, JPa, cov, cov_walk, T), _ = jax.lax.scan(
         step, init, (gyro, acc, dt)
     )
-    return Preintegrated(dq, dv, dp, JRg, JVg, JVa, JPg, JPa, cov, T, bias)
+    return Preintegrated(dq, dv, dp, JRg, JVg, JVa, JPg, JPa, cov, cov_walk,
+                         T, bias)
 
 
 def delta_with_bias(pre: Preintegrated, bias: ImuBias):

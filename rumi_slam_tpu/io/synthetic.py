@@ -62,14 +62,41 @@ def render_frame(world: SyntheticWorld, K, T_cw, *, width=640, height=480, patch
     return img
 
 
+@partial(jax.jit, static_argnames=("width", "height", "patch"))
+def render_depth(world: SyntheticWorld, K, T_cw, *, width=640, height=480,
+                 patch=4):
+    """Depth map [H,W] float32 (meters; 0 = no return) matching
+    :func:`render_frame`'s splats — a synthetic RGB-D sensor for the
+    TrackRGBD path (the reference replays TUM depth pngs)."""
+    uv, depth = camera.project_world(K, T_cw, world.xyz)
+    px = jnp.clip(world.size * K[0] / jnp.maximum(depth, 0.3), 1.0, float(patch))
+    vis = (
+        (depth > 0.3)
+        & (uv[:, 0] > -8) & (uv[:, 0] < width + 8)
+        & (uv[:, 1] > -8) & (uv[:, 1] < height + 8)
+    )
+    z = jnp.where(vis, depth, jnp.inf)
+    dmap = jnp.full((height, width), jnp.inf, jnp.float32)
+    cx = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, width - 1)
+    cy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, height - 1)
+    for dy in range(-patch, patch + 1):
+        for dx in range(-patch, patch + 1):
+            inside = (jnp.abs(dy) <= px) & (jnp.abs(dx) <= px)
+            yy = jnp.clip(cy + dy, 0, height - 1)
+            xx = jnp.clip(cx + dx, 0, width - 1)
+            dmap = dmap.at[yy, xx].min(jnp.where(inside, z, jnp.inf))
+    return jnp.where(jnp.isfinite(dmap), dmap, 0.0)
+
+
 def smooth_trajectory(n_frames, *, seed=1, speed=0.06, yaw_rate=0.004,
                       lost_span=None):
     """World->camera poses for a forward-moving, gently-turning camera.
 
     Args:
-      lost_span: optional (start, end) frame range where the camera makes a
-        violent jump (to trigger tracking loss, exercising the rumination
-        path).
+      lost_span: kept in the signature for the sequence-level loss event
+        (see SyntheticSequence: frames in the span render featureless —
+        "lens covered" — while the trajectory continues smoothly, the way
+        the reference's fr1_floor loses tracking on textureless views).
     Returns list of [7] T_cw arrays and timestamps (30 fps).
     """
     rng = np.random.default_rng(seed)
@@ -77,17 +104,11 @@ def smooth_trajectory(n_frames, *, seed=1, speed=0.06, yaw_rate=0.004,
     t = np.zeros(3, np.float32)
     yaw = 0.0
     for i in range(n_frames):
-        if lost_span is not None and lost_span[0] <= i < lost_span[1]:
-            # violent shake: large random rotation — frames are untrackable
-            q = lie.so3_exp(jnp.asarray(rng.normal(scale=0.6, size=3).astype(np.float32)))
-            jitter = rng.normal(scale=0.5, size=3).astype(np.float32)
-            T_wc = lie.se3(q, jnp.asarray(t + jitter))
-        else:
-            yaw += yaw_rate + rng.normal(scale=0.0005)
-            t = t + np.asarray([np.sin(yaw), 0.0, np.cos(yaw)], np.float32) * speed
-            wob = rng.normal(scale=0.002, size=3).astype(np.float32)
-            q = lie.so3_exp(jnp.asarray([0.0, yaw, 0.0], np.float32) + jnp.asarray(wob))
-            T_wc = lie.se3(q, jnp.asarray(t))
+        yaw += yaw_rate + rng.normal(scale=0.0005)
+        t = t + np.asarray([np.sin(yaw), 0.0, np.cos(yaw)], np.float32) * speed
+        wob = rng.normal(scale=0.002, size=3).astype(np.float32)
+        q = lie.so3_exp(jnp.asarray([0.0, yaw, 0.0], np.float32) + jnp.asarray(wob))
+        T_wc = lie.se3(q, jnp.asarray(t))
         poses.append(lie.se3_inverse(T_wc))
     times = np.arange(n_frames, dtype=np.float64) / 30.0
     return poses, times
@@ -105,16 +126,48 @@ class SyntheticSequence:
             else jnp.asarray([width * 0.8, width * 0.8, width / 2 - 0.5, height / 2 - 0.5])
         )
         self.width, self.height, self.patch = width, height, patch
-        self.poses_gt, self.times = smooth_trajectory(
-            n_frames, seed=seed + 1, lost_span=lost_span
-        )
+        # loss model: frames in lost_span render FEATURELESS while the
+        # trajectory continues smoothly — the reference's loss events are
+        # textureless/blurred views (fr1_floor), not teleports; the lost
+        # frames must remain *reconstructable context* for the rumination
+        # backend, which is the whole premise of the paper.
+        self.lost_span = lost_span
+        self.poses_gt, self.times = smooth_trajectory(n_frames, seed=seed + 1)
 
     def __len__(self):
         return len(self.poses_gt)
 
+    def _in_lost_span(self, i):
+        return self.lost_span is not None and self.lost_span[0] <= i < self.lost_span[1]
+
     def frame(self, i):
-        img = render_frame(
+        if self._in_lost_span(i):
+            img = jnp.full((self.height, self.width), 40.0, jnp.float32)
+        else:
+            img = render_frame(
+                self.world, self.K, self.poses_gt[i],
+                width=self.width, height=self.height, patch=self.patch,
+            )
+        return img, float(self.times[i])
+
+    def frame_rgbd(self, i):
+        """(gray, depth [m], t) — synthetic RGB-D sensor."""
+        img, t = self.frame(i)
+        depth = render_depth(
             self.world, self.K, self.poses_gt[i],
             width=self.width, height=self.height, patch=self.patch,
         )
-        return img, float(self.times[i])
+        return img, depth, t
+
+    def frame_stereo(self, i, baseline: float):
+        """(gray_left, gray_right, t) — synthetic rectified stereo pair with
+        the right camera offset by ``baseline`` meters along +x of the left
+        camera frame."""
+        img_l, t = self.frame(i)
+        T_rl = lie.se3(lie.quat_identity(), jnp.asarray([-baseline, 0.0, 0.0]))
+        T_rw = lie.se3_compose(T_rl, self.poses_gt[i])
+        img_r = render_frame(
+            self.world, self.K, T_rw,
+            width=self.width, height=self.height, patch=self.patch,
+        )
+        return img_l, img_r, t

@@ -1,9 +1,13 @@
-"""TUM-format trajectory export/import.
+"""Trajectory export/import: TUM, EuRoC, and KITTI formats.
 
 Reproduces the reference's trajectory savers
 (/root/reference/src/rumi-slam/lib_src/System.cc SaveKeyFrameTrajectoryTUM /
-CloudSaveKeyFrameTrajectoryTUM, System.h:144-165): one line per pose,
-``timestamp tx ty tz qx qy qz qw`` with the CAMERA-TO-WORLD transform.
+CloudSaveKeyFrameTrajectoryTUM / SaveTrajectoryEuRoC /
+SaveKeyFrameTrajectoryEuRoC / SaveTrajectoryKITTI, System.h:144-165):
+
+* TUM:   ``timestamp tx ty tz qx qy qz qw`` (seconds, camera-to-world)
+* EuRoC: same fields with nanosecond integer timestamps
+* KITTI: 12 row-major entries of the 3x4 camera-to-world matrix, no stamps
 """
 
 from __future__ import annotations
@@ -32,6 +36,46 @@ def save_tum(path, times, poses_cw):
                 f"{t:.6f} {tx:.7f} {ty:.7f} {tz:.7f} "
                 f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}"
             )
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def save_euroc(path, times, poses_cw):
+    """EuRoC format (reference SaveKeyFrameTrajectoryEuRoC): nanosecond
+    timestamps, ``ts tx ty tz qx qy qz qw`` of the camera-to-world pose."""
+    import jax
+    import jax.numpy as jnp
+
+    poses_cw = np.asarray(poses_cw)
+    lines = []
+    if len(poses_cw):
+        Twc = np.asarray(jax.vmap(lie.se3_inverse)(jnp.asarray(poses_cw)))
+        for t, T in zip(np.asarray(times), Twc):
+            qw, qx, qy, qz = T[0], T[1], T[2], T[3]
+            tx, ty, tz = T[4], T[5], T[6]
+            lines.append(
+                f"{int(round(t * 1e9))} {tx:.7f} {ty:.7f} {tz:.7f} "
+                f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}"
+            )
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def save_kitti(path, poses_cw):
+    """KITTI format (reference SaveTrajectoryKITTI): per line the 12 row-major
+    entries of the 3x4 [R|t] camera-to-world matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    poses_cw = np.asarray(poses_cw)
+    lines = []
+    if len(poses_cw):
+        Twc = jax.vmap(lie.se3_inverse)(jnp.asarray(poses_cw))
+        R = np.asarray(lie.quat_to_matrix(Twc[:, :4]))
+        t = np.asarray(Twc[:, 4:7])
+        for Ri, ti in zip(R, t):
+            M = np.concatenate([Ri, ti[:, None]], axis=1).reshape(-1)
+            lines.append(" ".join(f"{v:.9e}" for v in M))
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     Path(path).write_text("\n".join(lines) + "\n")
 

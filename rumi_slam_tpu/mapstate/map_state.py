@@ -169,6 +169,9 @@ def add_keyframes_bulk(
     kf_point_new = jnp.zeros_like(ms.kf_point).at[slot_c].add(pa) - 1
     kf_point = jnp.where(wmask[:, None], kf_point_new, ms.kf_point)
 
+    feat_valid_new = jnp.zeros(ms.kf_feat_valid.shape, bool).at[slot_c].max(
+        jnp.where(usable[:, None], feat_valid, False)
+    )
     ms = ms._replace(
         kf_pose=scatter(ms.kf_pose, poses),
         kf_uv=scatter(ms.kf_uv, uv),
@@ -177,8 +180,7 @@ def add_keyframes_bulk(
         kf_desc=scatter(ms.kf_desc, desc),
         # bulk-imported (cloud) KFs are monocular: ur stays -1 in new slots
         kf_ur=jnp.where(wmask[:, None], -1.0, ms.kf_ur),
-        kf_feat_valid=jnp.where(wmask[:, None],
-                                scatter(ms.kf_feat_valid, feat_valid),
+        kf_feat_valid=jnp.where(wmask[:, None], feat_valid_new,
                                 ms.kf_feat_valid),
         kf_point=kf_point,
         kf_time=scatter(ms.kf_time, times),

@@ -167,6 +167,100 @@ def optimize_pose_graph(kf_sim3, edges: PoseGraphEdges, fixed, *,
     return S
 
 
+class PoseGraphEdgesSE3(NamedTuple):
+    """SE(3) edge list for the 4-DoF pose graph."""
+
+    i: jnp.ndarray       # [E] int32
+    j: jnp.ndarray       # [E] int32
+    T_ij: jnp.ndarray    # [E,7] measured relative SE3: T_i * T_j^-1
+    weight: jnp.ndarray  # [E] float32 (0 disables)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def optimize_pose_graph_4dof(kf_se3, edges: PoseGraphEdgesSE3, fixed, *,
+                             n_iters: int = 10, lam0: float = 1e-4):
+    """4-DoF pose graph — the reference's OptimizeEssentialGraph4DoF
+    (Optimizer.cc:5417): for gravity-aligned (visual-inertial) maps roll and
+    pitch are observable from the IMU, so each vertex optimizes only yaw +
+    translation.  Implemented as the SE(3) graph with the per-vertex tangent
+    restricted to (yaw, v) — tau6 = (0, 0, yaw, v) under the same
+    left-multiplicative retraction as the full graph.
+
+    Args:
+      kf_se3: [K,7] per-KF T_cw.
+      fixed:  [K] bool anchors.
+    Returns optimized [K,7].
+    """
+    K = kf_se3.shape[0]
+
+    def retract4(T, tau4):
+        tau6 = jnp.concatenate([jnp.zeros(2), tau4])
+        return lie.se3_retract(T, tau6)
+
+    def residual_of(tau_i, tau_j, T_i, T_j, T_m):
+        rel = lie.se3_compose(retract4(T_i, tau_i),
+                              lie.se3_inverse(retract4(T_j, tau_j)))
+        err = lie.se3_compose(lie.se3_inverse(T_m), rel)
+        return lie.se3_log(err)
+
+    z4 = jnp.zeros(4)
+    J_i_fn = jax.vmap(jax.jacfwd(residual_of, argnums=0),
+                      in_axes=(None, None, 0, 0, 0))
+    J_j_fn = jax.vmap(jax.jacfwd(residual_of, argnums=1),
+                      in_axes=(None, None, 0, 0, 0))
+    r_fn = jax.vmap(residual_of, in_axes=(None, None, 0, 0, 0))
+    free = (~fixed).astype(jnp.float32)
+
+    def body(carry, _):
+        T, lam = carry
+        Ti = T[edges.i]
+        Tj = T[edges.j]
+        r = r_fn(z4, z4, Ti, Tj, edges.T_ij)         # [E,6]
+        Ji = J_i_fn(z4, z4, Ti, Tj, edges.T_ij)      # [E,6,4]
+        Jj = J_j_fn(z4, z4, Ti, Tj, edges.T_ij)
+        w = edges.weight
+
+        Hii = jax.ops.segment_sum(jnp.einsum("eki,e,ekj->eij", Ji, w, Ji),
+                                  edges.i, num_segments=K)
+        Hjj = jax.ops.segment_sum(jnp.einsum("eki,e,ekj->eij", Jj, w, Jj),
+                                  edges.j, num_segments=K)
+        bi = jax.ops.segment_sum(jnp.einsum("eki,e,ek->ei", Ji, w, r),
+                                 edges.i, num_segments=K)
+        bj = jax.ops.segment_sum(jnp.einsum("eki,e,ek->ei", Jj, w, r),
+                                 edges.j, num_segments=K)
+        Hij = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
+
+        H = jnp.zeros((K, 4, K, 4))
+        diag = jnp.arange(K)
+        H = H.at[diag, :, diag, :].add(Hii + Hjj)
+        H = H.at[edges.i, :, edges.j, :].add(Hij)
+        H = H.at[edges.j, :, edges.i, :].add(jnp.swapaxes(Hij, -1, -2))
+        b = bi + bj
+
+        H = H * free[:, None, None, None] * free[None, None, :, None]
+        H = H.at[diag, :, diag, :].add(jnp.eye(4) * (1.0 - free)[:, None, None]
+                                       + lam * jnp.eye(4))
+        b = b * free[:, None]
+
+        dx = -jnp.linalg.solve(
+            H.reshape(K * 4, K * 4) + 1e-8 * jnp.eye(K * 4), b.reshape(K * 4)
+        ).reshape(K, 4)
+        dx = dx * free[:, None]
+
+        T_new = jax.vmap(retract4)(T, dx)
+        cost0 = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        r1 = r_fn(z4, z4, T_new[edges.i], T_new[edges.j], edges.T_ij)
+        cost1 = jnp.sum(w * jnp.sum(r1 * r1, axis=-1))
+        accept = cost1 < cost0
+        T = jnp.where(accept, T_new, T)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-8, 1e2)
+        return (T, lam), cost1
+
+    (T, _), _ = jax.lax.scan(body, (kf_se3, jnp.float32(lam0)), None,
+                             length=n_iters)
+    return T
+
+
 def correct_points(pt_xyz, pt_ref_kf, pt_valid, kf_sim3_old, kf_sim3_new):
     """Move points with their reference KF (the reference's MP correction
     after essential-graph optimization, Optimizer.cc:1560-1620 analogue):

@@ -94,7 +94,7 @@ def two_view_init(
     focal: float = 525.0,
     px_thresh: float = 2.0,
     min_inliers: int = 50,
-    min_parallax_cos: float = 0.9998,
+    min_parallax_deg: float = 0.4,
 ):
     """Estimate relative pose + structure from matched rays.
 
@@ -194,22 +194,27 @@ def two_view_init(
     z2 = lie.se3_apply(jnp.broadcast_to(T_21, (n, 7)), X)[:, 2]
     good = good & (X[:, 2] > 1e-3) & (z2 > 1e-3)
 
-    # parallax gate: median triangulation ray angle must be real
+    # parallax gate — AGGREGATE, not per-point: under (near-)forward motion
+    # points by the focus of expansion always have ~zero parallax; the
+    # reference likewise only requires enough well-triangulated points
+    # overall (TwoViewReconstruction::CheckRT counts parallax>minParallax
+    # for its statistic but keeps all cheirality-checked points).
     c2 = lie.se3_t(lie.se3_inverse(T_21))
     d1 = X
     d2 = X - c2
     cosp = jnp.sum(d1 * d2, -1) / jnp.maximum(
         jnp.linalg.norm(d1, axis=-1) * jnp.linalg.norm(d2, axis=-1), 1e-12
     )
-    has_parallax = cosp < min_parallax_cos
-    good = good & has_parallax
+    min_parallax_cos = jnp.cos(jnp.deg2rad(min_parallax_deg))
+    has_parallax = good & (cosp < min_parallax_cos)
+    n_parallax = jnp.sum(has_parallax.astype(jnp.int32))
 
     n_inl = jnp.sum(good.astype(jnp.int32))
     # ambiguity: best candidate must dominate (reference requires a clear
     # winner among the 4 motions)
     sorted_counts = jnp.sort(counts)
     distinct = sorted_counts[-1] > 1.7 * sorted_counts[-2]
-    ok = (n_inl >= min_inliers) & distinct
+    ok = (n_inl >= min_inliers) & distinct & (n_parallax >= min_inliers // 8)
 
     # normalize scene scale: median depth of inliers -> 1 (the reference
     # normalizes by median depth in CreateInitialMapMonocular, Tracking.cc:2143)

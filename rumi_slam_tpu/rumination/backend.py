@@ -29,7 +29,27 @@ class RuminationBackend:
     """Builds a back submap from an upload bundle of frames."""
 
     def __init__(self, config: Config):
-        self.cfg = config
+        import dataclasses
+
+        # offline budgets: the bundle is short (~30-130 frames) and paid for
+        # once, so keyframe every frame and give up on dead frames fast (the
+        # reference's cloud DROID-SLAM likewise keyframes densely and runs
+        # without realtime constraints)
+        self.cfg = dataclasses.replace(
+            config,
+            tracking=dataclasses.replace(
+                config.tracking,
+                kf_min_interval=1,
+                # NEVER reset: offline, the builder must reconnect across the
+                # loss gap by relocalizing against its own front-side map —
+                # that single spanning submap is what makes the double merge
+                # possible (the reference's DROID backend similarly treats
+                # the bundle as one global problem)
+                reloc_window_s=1e9,
+                match_radius=60.0,
+                match_radius_wide=120.0,
+            ),
+        )
 
     def build(self, bundle: list[RecordedFrame]) -> Optional[cloud_map.CloudMap]:
         """Run offline SLAM over the bundle; return its largest submap as a
@@ -42,7 +62,7 @@ class RuminationBackend:
             st = slam.track_monocular(jnp.asarray(f.image), f.time)
             if st == TrackState.OK:
                 ok_frames += 1
-        if slam.stats["n_kf"] < 5 or ok_frames < len(bundle) * 0.3:
+        if slam.stats["n_kf"] < 4 or ok_frames < len(bundle) * 0.25:
             return None
         ms = slam.ms
         # largest submap by KF count
@@ -52,6 +72,6 @@ class RuminationBackend:
             int(M.map_kf_count(ms, m)) for m in range(int(ms.n_maps))
         ]
         best = int(np.argmax(counts))
-        if counts[best] < 5:
+        if counts[best] < 4:
             return None
         return cloud_map.from_map_state(ms, best)

@@ -65,7 +65,7 @@ def correct_pose(T_cw, S):
 class RuminationCoordinator:
     def __init__(self, slam: SlamSystem, config: Optional[Config] = None,
                  *, backend: Optional[RuminationBackend] = None,
-                 ring_capacity: int = 600):
+                 ring_capacity: int = 600, async_shard=None):
         self.slam = slam
         self.cfg = config or slam.cfg
         self.sampler = LostFrameSampler(self.cfg.sampler)
@@ -77,6 +77,11 @@ class RuminationCoordinator:
         self.merged_maps: set[int] = set()
         self.key = jax.random.PRNGKey(42)
         self.history: list[dict] = []
+        # async mode: an AsyncRuminationShard (rumination/remote.py) — the
+        # reference's non-blocking actionlib goal; None = inline/synchronous
+        # (the reference's wait_cloud_result mode)
+        self.shard = async_shard
+        self._pending: Optional[dict] = None
         slam.image_recorder = self.on_frame
 
     # ------------------------------------------------------------------
@@ -105,13 +110,30 @@ class RuminationCoordinator:
         """Call once per frame (or less) from the driver loop.  When two
         un-merged submaps exist and the new one passes the maturity gates,
         runs the full rumination: bundle -> backend -> insert -> double merge.
-        Returns an info dict when a merge was attempted."""
+        With an async shard the backend build overlaps tracking (the
+        reference's actionlib flow); results are merged when :meth:`poll`
+        delivers them.  Returns an info dict when a merge was attempted."""
+        # async: harvest a finished build first (reference ActionFinishCb)
+        if self.shard is not None:
+            done = self.shard.poll()
+            if done is not None and self._pending is not None:
+                _, cm = done
+                info, self._pending = self._pending, None
+                if cm is None:
+                    info["result"] = "backend_failed"
+                    self.merged_maps.add(info["back"])
+                    self.history.append(info)
+                    return info
+                return self._finish_rumination(info, cm)
+
         slam = self.slam
         ms = slam.ms
         n_maps = int(ms.n_maps)
         active = int(ms.active_map)
         if n_maps < 2 or active in self.merged_maps:
             return None
+        if self._pending is not None and self._pending["back"] == active:
+            return None  # build in flight for this map
         front = active - 1
         while front in self.merged_maps and front > 0:
             front -= 1
@@ -129,12 +151,8 @@ class RuminationCoordinator:
         return self._run_rumination(front, active)
 
     # ------------------------------------------------------------------
-    def _run_rumination(self, front: int, back: int) -> dict:
-        slam = self.slam
-        ms = slam.ms
-        info: dict = {"front": front, "back": back}
-
-        # --- assemble bundle (front tail KFs + lost frames + back head KFs)
+    def _assemble_bundle(self, info: dict, front: int, back: int):
+        ms = self.slam.ms
         kf_t = np.asarray(ms.kf_time)
         kf_m = np.asarray(ms.kf_map_id)
         kf_v = np.asarray(ms.kf_valid)
@@ -145,18 +163,38 @@ class RuminationCoordinator:
             self.sampler.all_frames,
             self._frames_for_times(t_back),
         )
+        if bundle is not None:
+            info["bundle_size"] = len(bundle)
+            # upload bandwidth accounting (reference measures the upload bag
+            # MB, cloud_edge_main.cpp:487-497)
+            info["upload_mb"] = sum(f.image.nbytes for f in bundle) / 1e6
+        return bundle
+
+    def _run_rumination(self, front: int, back: int) -> Optional[dict]:
+        info: dict = {"front": front, "back": back}
+        bundle = self._assemble_bundle(info, front, back)
         if bundle is None:
             info["result"] = "bundle_too_small"
             self.history.append(info)
             return info
-        info["bundle_size"] = len(bundle)
 
-        # --- backend builds the cloud submap
+        if self.shard is not None:
+            if self.shard.submit(back, bundle):
+                self._pending = info
+            return None  # result harvested by a later poll
+
+        # --- synchronous: backend builds the cloud submap inline
         cm = self.backend.build(bundle)
         if cm is None:
             info["result"] = "backend_failed"
             self.history.append(info)
             return info
+        return self._finish_rumination(info, cm)
+
+    def _finish_rumination(self, info: dict, cm) -> dict:
+        slam = self.slam
+        ms = slam.ms
+        front, back = info["front"], info["back"]
 
         # --- import + double merge (cloud->front, back->front)
         cloud_id = int(ms.n_maps)

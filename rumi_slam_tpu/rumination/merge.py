@@ -285,7 +285,11 @@ def merge_submaps(ms: M.MapState, K, src_id, dst_id, cfg: MergeConfig, key):
         max_pairs=cfg.max_match_kf, tol=cfg.time_tolerance_s,
     )
     n_matched = int(jnp.sum(matches.valid))
-    if n_matched < 3:
+    # 2 matched KFs suffice: the Sim3 hypotheses come from Horn triples over
+    # the per-feature 3D-3D pairs (hundreds per KF pair), not from the KF
+    # centers alone; the Umeyama-on-centers hypothesis simply loses the
+    # inlier vote when degenerate.
+    if n_matched < 2:
         return ms, False, {"n_kf_matches": n_matched, "reason": "no_kf_matches"}
 
     pairs = associate_points(ms, matches, radius=cfg.pixel_radius)

@@ -109,7 +109,10 @@ class BundleAssembler:
         return (
             n_back_kf >= self.cfg.n_new_track_first
             and back_duration >= self.cfg.min_time_s
-            and back_curvature > 1.0005  # straight trajectories merge badly
+            # reference nNewTrackFirstMinTrajCurvature (default 0 = disabled,
+            # CloudImageSampler.h:80; the paper used 1.2 — straight
+            # trajectories merge badly)
+            and back_curvature > self.cfg.min_traj_curvature
         )
 
     def assemble(

@@ -27,7 +27,7 @@ import numpy as np
 from .config import Config
 from .geometry import lie
 from .mapstate import map_state as M
-from .ops import matcher, orb
+from .ops import matcher, orb, stereo
 from .optim import ba, two_view
 from .tracking import local_mapping, tracker
 
@@ -60,6 +60,12 @@ class SlamSystem:
         # hook for the rumination sampler: called with (img, time, state)
         self.image_recorder = image_recorder
         self.stats = {"n_kf": 0, "n_reloc": 0, "n_new_maps": 0, "n_lost_frames": 0}
+        # localization-only mode: track against the frozen map, never insert
+        # keyframes (reference System::ActivateLocalizationMode ->
+        # Tracking::InformOnlyTracking, System.cc:425-439)
+        self.localization_only = False
+        self._cur_ur = None  # per-frame stereo/RGB-D virtual right u
+        self._cur_z = None   # per-frame metric depth (None in mono mode)
         from .utils.profiling import StageTimer
 
         self.timer = StageTimer()  # reference REGISTER_TIMES equivalent
@@ -87,12 +93,49 @@ class SlamSystem:
         """Process one grayscale frame (float32 [H,W]); returns the state."""
         with self.timer.stage("orb_extract"):
             feats = self._extract(img)
+        return self._track_common(feats, t, img)
+
+    def track_rgbd(self, img, depth, t: float):
+        """Process one gray frame + registered depth map (reference
+        System::TrackRGBD -> Tracking::GrabImageRGBD: depth provides metric
+        point creation, tracking gains the virtual-right residual row).
+
+        ``depth``: [H,W] float32, raw units / cfg.camera.depth_factor = m.
+        """
+        cam = self.cfg.camera
+        if cam.baseline <= 0:
+            raise ValueError("RGB-D mode needs camera.baseline > 0 (for bf)")
+        with self.timer.stage("orb_extract"):
+            feats = self._extract(img)
+        ur, z = stereo.depth_from_rgbd(
+            jnp.asarray(depth, jnp.float32), feats.uv, cam.bf,
+            depth_factor=cam.depth_factor, max_z=cam.th_depth,
+        )
+        return self._track_common(feats, t, img, ur=ur, z=z)
+
+    def track_stereo(self, img_l, img_r, t: float):
+        """Process a rectified stereo pair (reference System::TrackStereo:
+        Frame::ComputeStereoMatches gives per-feature depth)."""
+        cam = self.cfg.camera
+        if cam.baseline <= 0:
+            raise ValueError("stereo mode needs camera.baseline > 0")
+        with self.timer.stage("orb_extract"):
+            feats = self._extract(img_l)
+            feats_r = self._extract(img_r)
+        ur, z = stereo.match_stereo(feats, feats_r, cam.bf)
+        return self._track_common(feats, t, img_l, ur=ur, z=z)
+
+    def _track_common(self, feats, t, img, ur=None, z=None):
+        self._cur_ur, self._cur_z = ur, z
         if self.image_recorder is not None:
             self.image_recorder(img, t, self.state)
 
         if self.state == TrackState.NOT_INITIALIZED:
             with self.timer.stage("initialize"):
-                self._try_initialize(feats, t)
+                if z is not None:
+                    self._initialize_with_depth(feats, t)
+                else:
+                    self._try_initialize(feats, t)
         elif self.state == TrackState.OK:
             with self.timer.stage("track"):
                 self._track_ok(feats, t)
@@ -102,6 +145,33 @@ class SlamSystem:
         if self.state == TrackState.LOST:
             self._handle_lost(feats, t)
         return self.state
+
+    def _initialize_with_depth(self, feats, t):
+        """Single-frame initialization from stereo/RGB-D depth (reference
+        Tracking::StereoInitialization: needs >=500 keypoints, creates a map
+        point for every measurement with valid depth)."""
+        z = self._cur_z
+        ok = feats.valid & (z > 0)
+        if int(jnp.sum(ok)) < self.cfg.tracking.min_init_depth_points:
+            return
+        ms = self.ms
+        from .geometry import camera as cam
+
+        T0 = lie.se3_identity()
+        xyz_w = cam.unproject(self.K, feats.uv, depth=jnp.maximum(z, 1e-6))
+        ms, ids = M.add_points(ms, xyz_w, feats.desc, ok, ms.n_kf)
+        assoc = jnp.where(ids >= 0, ids, -1)
+        ms, kf0 = M.insert_keyframe(ms, T0, feats, t, assoc, ur=self._cur_ur)
+        self.ms = ms
+        self.last_kf_id = int(kf0)
+        self.last_kf_obs = int(jnp.sum(assoc >= 0))
+        self.last_pose = T0
+        self.velocity = lie.se3_identity()
+        self.frames_since_kf = 0
+        self.state = TrackState.OK
+        self.stats["n_kf"] += 1
+        self._init_feats = None
+        self._log_pose(t, T0)
 
     # ------------------------------------------------------------------
     def _try_initialize(self, feats, t):
@@ -212,8 +282,16 @@ class SlamSystem:
         self.frames_since_kf += 1
         self._log_pose(t, new_pose)
 
-        if self._need_new_keyframe(tr):
+        if not self.localization_only and self._need_new_keyframe(tr):
             self._create_keyframe(feats, new_pose, t, tr.assoc)
+
+    def activate_localization_mode(self):
+        """Freeze the map; keep tracking only (reference
+        System::ActivateLocalizationMode)."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
 
     def _need_new_keyframe(self, tr: tracker.TrackResult) -> bool:
         cfg = self.cfg.tracking
@@ -235,7 +313,18 @@ class SlamSystem:
         ms = self.ms
         if int(ms.n_kf) >= ms.max_kf:
             return
-        ms, kid = M.insert_keyframe(ms, pose, feats, t, assoc)
+        ms, kid = M.insert_keyframe(ms, pose, feats, t, assoc, ur=self._cur_ur)
+        # stereo/RGB-D: spawn points directly from depth for unmatched
+        # features (reference Tracking::CreateNewKeyFrame stereo branch)
+        if self._cur_z is not None:
+            xyz_w, make = stereo.backproject_new_points(
+                self.K, pose, feats.uv, self._cur_z, assoc >= 0, feats.valid,
+                max_new=self.cfg.tracking.max_new_depth_points,
+                th_depth=self.cfg.camera.th_depth,
+            )
+            ms, ids = M.add_points(ms, xyz_w, feats.desc, make, kid)
+            new_assoc = jnp.where(ids >= 0, ids, ms.kf_point[kid])
+            ms = M.set_associations(ms, kid, new_assoc)
         # triangulate vs the best covisible neighbors (reference
         # CreateNewMapPoints uses 10-20; two suffice at our feature budget)
         ids, valid_w = M.local_window(ms, kid, window=3)
@@ -270,9 +359,14 @@ class SlamSystem:
             if int(scores[rank]) < 10:
                 break
             kf = int(cand_ids[rank])
-            tr = tracker.track_reference_kf(
-                self.ms, self.K, feats, kf, self.ms.kf_pose[kf]
-            )
+            # prior-free PnP RANSAC first (reference MLPnP), KF-pose-seeded
+            # tracking as the cheap fallback
+            tr = tracker.relocalize_pnp(self._next_key(), self.ms, self.K,
+                                        feats, kf)
+            if int(tr.n_inliers) < cfg.min_track_inliers:
+                tr = tracker.track_reference_kf(
+                    self.ms, self.K, feats, kf, self.ms.kf_pose[kf]
+                )
             if int(tr.n_inliers) >= cfg.min_track_inliers:
                 self.state = TrackState.OK
                 self.last_pose = tr.pose
@@ -291,7 +385,12 @@ class SlamSystem:
         ms = self.ms
         n_kf = int(M.map_kf_count(ms, ms.active_map))
         dur = float(M.map_duration(ms, ms.active_map))
-        if n_kf >= cfg.new_map_min_kf and dur >= cfg.new_map_min_duration_s:
+        curv = (
+            float(M.map_trajectory_curvature(ms, ms.active_map))
+            if cfg.new_map_min_curvature > 0.0 else 1.0
+        )
+        if (n_kf >= cfg.new_map_min_kf and dur >= cfg.new_map_min_duration_s
+                and curv > cfg.new_map_min_curvature):
             # freeze current map; open a new submap (CreateMapInAtlas)
             new_id = int(ms.n_maps)
             self.ms = ms._replace(

@@ -136,6 +136,36 @@ def track_reference_kf(ms: M.MapState, K, feats, kf_id, pose_init, *,
 
 
 @jax.jit
+def relocalize_pnp(key, ms: M.MapState, K, feats, kf_id):
+    """Relocalization against one candidate KF WITHOUT a pose prior:
+    descriptor match to the KF's point-bearing features, then DLT-RANSAC PnP
+    + motion-only BA — the reference's Relocalization body (Tracking.cc:3212:
+    SearchByBoW + MLPnPsolver RANSAC + PoseOptimization)."""
+    from ..optim import pnp
+
+    kf_desc = ms.kf_desc[kf_id]
+    kf_assoc = ms.kf_point[kf_id]
+    has_pt = kf_assoc >= 0
+
+    dist = matcher.hamming_matrix(feats.desc, kf_desc)
+    idx, _ = matcher.match(
+        dist, feats.valid, ms.kf_feat_valid[kf_id] & has_pt,
+        max_dist=matcher.TH_LOW, ratio=0.85,
+    )
+    pt = jnp.where(idx >= 0, kf_assoc[jnp.clip(idx, 0)], -1)
+    matched = pt >= 0
+    X = ms.pt_xyz[jnp.clip(pt, 0)]
+    res = pnp.pnp_ransac(key, K, X, feats.uv, matched)
+    assoc = jnp.where(matched & res.inliers, pt, -1)
+    return TrackResult(
+        pose=res.pose,
+        assoc=assoc,
+        n_inliers=res.n_inliers,
+        n_candidates=jnp.sum(matched.astype(jnp.int32)),
+    )
+
+
+@jax.jit
 def relocalization_candidates(ms: M.MapState, feats, *, top_k=3):
     """Descriptor-retrieval relocalization candidates: score every KF by its
     number of strong Hamming matches to the frame (replaces the reference's

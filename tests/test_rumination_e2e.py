@@ -23,7 +23,17 @@ def test_rumination_end_to_end():
         n_frames=110, width=320, height=240, n_points=2000, seed=11,
         patch=3, lost_span=(45, 55),
     )
+    # a short relocalization window forces genuine LOSS during the shake:
+    # with the default 3 s window the PnP relocalizer recovers (the synthetic
+    # camera returns to a mapped view), and the rumination path — the subject
+    # of this test — never triggers.  The reference's fr1_floor loss events
+    # are ones where relocalization genuinely fails (SURVEY.md §3.4).
+    import dataclasses
+
     cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(cfg.tracking, reloc_window_s=0.1)
+    )
     slam = SlamSystem(cfg)
     coord = RuminationCoordinator(slam, cfg)
 
