@@ -21,10 +21,21 @@ class CameraConfig:
     th_depth: float = 40.0           # close/far point gate (x baseline units
                                      # in the reference; meters here)
     depth_factor: float = 5000.0     # raw TUM depth png units per meter
+    # radtan distortion (reference Camera1.k1/k2/p1/p2[/k3]; keypoints are
+    # undistorted once after extraction, Frame::UndistortKeyPoints)
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
 
     @property
     def bf(self) -> float:
         return self.fx * self.baseline
+
+    @property
+    def dist_coeffs(self):
+        return (self.k1, self.k2, self.p1, self.p2, self.k3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +108,10 @@ class MergeConfig:
     min_inlier_ratio: float = 0.1    # accept gate (CloudMerging.cc:815)
     welding_covis: int = 5           # extra covisible KFs in welding window
     sim3_iters: int = 8
+    # relaunch global BA after a successful double merge (reference
+    # CloudMerging.cc:243-250/:365-372 optional GBA thread)
+    run_gba: bool = False
+    gba_iters: int = 12
 
 
 @dataclasses.dataclass(frozen=True)

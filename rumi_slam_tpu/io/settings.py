@@ -77,6 +77,12 @@ def config_from_settings(d: dict, base: Config | None = None) -> Config:
         ),
         th_depth=float(g("Stereo.ThDepth", g("RGBD.ThDepth", base.camera.th_depth))),
         depth_factor=float(g("RGBD.DepthMapFactor", base.camera.depth_factor)),
+        # radtan distortion (Settings.cc readCamera1 k1/k2/p1/p2[/k3])
+        k1=float(g("Camera1.k1", base.camera.k1)),
+        k2=float(g("Camera1.k2", base.camera.k2)),
+        p1=float(g("Camera1.p1", base.camera.p1)),
+        p2=float(g("Camera1.p2", base.camera.p2)),
+        k3=float(g("Camera1.k3", base.camera.k3)),
     )
     orb = dataclasses.replace(
         base.orb,

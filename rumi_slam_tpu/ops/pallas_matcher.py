@@ -1,13 +1,18 @@
-"""Fused Pallas matcher: Hamming distance + mask + best/second-best in VMEM.
+"""Fused Pallas matcher: Hamming distance + radius window + best/second-best.
 
 The unfused path (ops.matcher) materializes the full [F, P] float32 distance
-matrix in HBM (64 MB at 1024x16384) and then runs top_k over it — two full
-HBM round trips.  This kernel tiles the map descriptors through VMEM, forms
-the Hamming distances on the MXU as an int8 +/-1 dot product, applies the
-candidate mask, and keeps only the running (best, second, argbest) per query
-row — a single pass, nothing written back but [F]-sized outputs.
+matrix AND a [F, P] candidate mask in HBM (80 MB at 1024x16384) and then runs
+top_k over them — three full HBM round trips.  This kernel keeps the map
+descriptors in VMEM, forms the Hamming distances on the MXU, evaluates the
+projection-radius gate ON THE FLY from the query/point pixel coordinates
+(nothing [F, P]-shaped ever exists), and keeps only the running
+(best, second, argbest) per query row — a single pass, outputs are [F]-sized.
 
 Grid: one program per query-row tile; inner fori_loop walks point tiles.
+
+Validity handling is positional: the caller moves invalid points' projected
+coordinates to +1e9 and invalid queries' coordinates to -1e9, so the radius
+gate rejects them without separate mask operands (see ``fused_match``).
 """
 
 from __future__ import annotations
@@ -25,22 +30,34 @@ PT = 512   # point columns per inner step
 _BIG = 1e9  # plain float: jnp constants cannot be captured by pallas kernels
 
 
-def _kernel(qd_ref, pd_ref, mask_ref, best_ref, second_ref, idx_ref):
-    """qd: [QT, 256] int8 (+/-1); pd: [P, 256] int8; mask: [QT, P] bool."""
+def _kernel(r2_ref, qd_ref, pd_ref, quv_ref, puv_ref,
+            best_ref, second_ref, idx_ref):
+    """qd: [QT, 256] i8 (+/-1); pd: [P, 256] i8; quv: [QT, 2]; puv: [P, 2];
+    r2: [1, 1] f32 in SMEM (squared window radius)."""
     n_pt = pd_ref.shape[0]
     n_steps = n_pt // PT
+    r2 = r2_ref[0, 0]
+    qx = quv_ref[:, 0:1]  # [QT, 1]
+    qy = quv_ref[:, 1:2]
 
     def body(step, carry):
         best, second, bidx = carry
         col0 = step * PT
         pd = pd_ref[pl.ds(col0, PT), :]
+        # f32 matmul: +/-1 entries and the 256-length dot are exact; this
+        # Mosaic version rejects i8/bf16 lhs for the transposed-rhs contract
         dots = jax.lax.dot_general(
-            qd_ref[:, :], pd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            qd_ref[:, :].astype(jnp.float32), pd.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # [QT, PT]
-        dist = (256 - dots).astype(jnp.float32) * 0.5
-        m = mask_ref[:, pl.ds(col0, PT)]
-        dist = jnp.where(m, dist, _BIG)
+        dist = (256.0 - dots) * 0.5
+
+        puv = puv_ref[pl.ds(col0, PT), :]  # [PT, 2]
+        du = qx - puv[:, 0][None, :]       # [QT, PT]
+        dv = qy - puv[:, 1][None, :]
+        inside = du * du + dv * dv <= r2
+        dist = jnp.where(inside, dist, _BIG)
 
         tile_best = jnp.min(dist, axis=1)
         tile_arg = jnp.argmin(dist, axis=1).astype(jnp.int32) + col0
@@ -69,15 +86,18 @@ def _kernel(qd_ref, pd_ref, mask_ref, best_ref, second_ref, idx_ref):
     idx_ref[row, :] = bidx
 
 
-@partial(jax.jit, static_argnames=())
-def fused_match(desc_q_packed, desc_p_packed, mask, valid_q, valid_p,
-                *, max_dist=80.0, ratio=0.9):
-    """Drop-in masked best-match (same contract as ops.matcher.match).
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_match(desc_q_packed, desc_p_packed, uv_q, uv_p, radius,
+                valid_q, valid_p, *, max_dist=80.0, ratio=0.9,
+                interpret: bool = False):
+    """Masked best-match under a projection-radius window (the contract of
+    ops.matcher.match with mask=radius_mask(uv_q, uv_p, radius)).
 
     Args:
       desc_q_packed: [F, 8] uint32; desc_p_packed: [P, 8] uint32.
-      mask: [F, P] bool allowed pairs.
-      valid_q/valid_p: validity masks.
+      uv_q: [F, 2] query pixels; uv_p: [P, 2] projected point pixels.
+      radius: scalar window radius in pixels.
+      valid_q/valid_p: validity masks (folded into coordinates).
     Returns (idx [F] int32 (-1 none), dist [F] float32 (inf none)).
     """
     from .matcher import unpack_pm1
@@ -89,17 +109,21 @@ def fused_match(desc_q_packed, desc_p_packed, mask, valid_q, valid_p,
 
     qd = unpack_pm1(desc_q_packed)
     pd = unpack_pm1(desc_p_packed)
-    allowed = mask & valid_q[:, None] & valid_p[None, :]
+    # positional validity: push invalid rows out of any radius window
+    quv = jnp.where(valid_q[:, None], uv_q, -_BIG).astype(jnp.float32)
+    puv = jnp.where(valid_p[:, None], uv_p, _BIG).astype(jnp.float32)
+    r2 = jnp.asarray(radius, jnp.float32).reshape(1, 1) ** 2
 
-    # outputs kept 2D [grid, QT] — 1D blocks trip Mosaic/XLA layout mismatch
     grid = (F // QT,)
     best, second, idx = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((QT, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QT, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             # full-array blocks (tiny): each program writes its own row by
@@ -113,7 +137,8 @@ def fused_match(desc_q_packed, desc_p_packed, mask, valid_q, valid_p,
             jax.ShapeDtypeStruct((F // QT, QT), jnp.float32),
             jax.ShapeDtypeStruct((F // QT, QT), jnp.int32),
         ],
-    )(qd, pd, allowed)
+        interpret=interpret,
+    )(r2, qd, pd, quv, puv)
     best = best.reshape(F)
     second = second.reshape(F)
     idx = idx.reshape(F)

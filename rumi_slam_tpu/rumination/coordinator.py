@@ -226,6 +226,13 @@ class RuminationCoordinator:
             # tracking continues in the merged (front) map; correct the
             # tracker's cached pose by the back-map transform
             ms = ms._replace(active_map=jnp.int32(front))
+            if self.cfg.merge.run_gba:
+                from ..tracking.local_mapping import global_bundle_adjustment
+
+                ms = global_bundle_adjustment(
+                    ms, slam.K, front, n_iters=self.cfg.merge.gba_iters
+                )
+                info["gba"] = True
             slam.ms = ms
             # the back map world moved: recompute last_pose from its KF
             if slam.last_kf_id >= 0:

@@ -43,6 +43,12 @@ class SlamSystem:
     def __init__(self, config: Config | None = None, *, image_recorder=None):
         self.cfg = config or Config()
         self.K = self.cfg.intrinsics()
+        from .geometry import distortion as _dist_mod
+
+        dc = self.cfg.camera.dist_coeffs
+        self._dist = (
+            jnp.asarray(dc, jnp.float32) if _dist_mod.has_distortion(dc) else None
+        )
         mc = self.cfg.mapping
         self.ms = M.empty(mc.max_kf, self.cfg.orb.n_features, mc.max_pt)
         self.state = TrackState.NOT_INITIALIZED
@@ -66,6 +72,13 @@ class SlamSystem:
         self.localization_only = False
         self._cur_ur = None  # per-frame stereo/RGB-D virtual right u
         self._cur_z = None   # per-frame metric depth (None in mono mode)
+        # fused Pallas matcher: TPU backends only, and only when capacities
+        # tile cleanly (ops/pallas_matcher QT/PT constraints)
+        self._fused_match = (
+            jax.default_backend() not in ("cpu",)
+            and self.cfg.orb.n_features % 256 == 0
+            and mc.max_pt % 512 == 0
+        )
         from .utils.profiling import StageTimer
 
         self.timer = StageTimer()  # reference REGISTER_TIMES equivalent
@@ -73,7 +86,7 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _extract(self, img):
         o = self.cfg.orb
-        return orb.extract_orb(
+        feats = orb.extract_orb(
             img,
             n_features=o.n_features,
             n_levels=o.n_levels,
@@ -83,6 +96,15 @@ class SlamSystem:
             cell=o.cell,
             k_cell=o.k_cell,
         )
+        if self._dist is not None:
+            # undistort keypoints once; downstream stays ideal pinhole
+            # (reference Frame::UndistortKeyPoints)
+            from .geometry import distortion
+
+            feats = feats._replace(
+                uv=distortion.undistort_points(self.K, self._dist, feats.uv)
+            )
+        return feats
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -256,6 +278,7 @@ class SlamSystem:
             self.ms, self.K, feats, pose_pred, cfg.match_radius,
             img_w=cam.width, img_h=cam.height,
             max_hamming=cfg.max_hamming, nn_ratio=cfg.nn_ratio,
+            fused=self._fused_match,
         )
         self.ms = ms
         if int(tr.n_inliers) < cfg.min_track_inliers:
@@ -269,6 +292,7 @@ class SlamSystem:
                     self.ms, self.K, feats, pose_pred, cfg.match_radius_wide,
                     img_w=cam.width, img_h=cam.height,
                     max_hamming=matcher.TH_HIGH, nn_ratio=0.95,
+                    fused=self._fused_match,
                 )
                 self.ms = ms
         if int(tr.n_inliers) < cfg.min_track_inliers:

@@ -148,6 +148,81 @@ def local_bundle_adjustment(ms: M.MapState, K, kf_id, *, window: int = 8,
     return ms._replace(kf_point=kf_point)
 
 
+def _round_up(n, step=32):
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def global_bundle_adjustment(ms: M.MapState, K, map_id, *, n_iters: int = 12):
+    """Full-map BA over one submap — the reference's GlobalBundleAdjustemnt
+    (Optimizer.cc:48/:54, relaunched after merges from
+    CloudMerging::RunGlobalBundleAdjustment, CloudMerging.cc:1957).
+
+    Host-level wrapper: GBA runs rarely (after merges), so the problem is
+    COMPACTED to the submap's actual KFs/points (padded to 32-buckets to
+    bound recompiles) and handed to the exact Schur-complement LM engine —
+    the same true reduced-camera-system solve g2o performs, at a memory
+    envelope set by the live map, not the static capacity.  (A pure
+    resection-intersection alternation was tried first and zigzags on the
+    correlated pose-point mode.)  Gauge: the two oldest KFs stay fixed.
+    """
+    import numpy as np
+
+    kf_rows = np.flatnonzero(np.asarray((ms.kf_map_id == map_id) & ms.kf_valid))
+    pt_rows = np.flatnonzero(np.asarray((ms.pt_map_id == map_id) & ms.pt_valid))
+    if len(kf_rows) < 3 or len(pt_rows) < 8:
+        return ms
+    C = _round_up(len(kf_rows))
+    P = _round_up(len(pt_rows))
+    F = ms.max_feat
+
+    # compact index maps
+    kf_local = np.full(ms.max_kf, -1, np.int64)
+    kf_local[kf_rows] = np.arange(len(kf_rows))
+    pt_local = np.full(ms.max_pt, -1, np.int64)
+    pt_local[pt_rows] = np.arange(len(pt_rows))
+
+    kp = np.asarray(ms.kf_point[kf_rows])              # [Ck, F]
+    feat_ok = np.asarray(ms.kf_feat_valid[kf_rows])
+    obs_pt = np.where(kp >= 0, pt_local[np.clip(kp, 0, None)], -1)
+    conf = ((obs_pt >= 0) & feat_ok).astype(np.float32) * np.asarray(
+        octave_inv_sigma2(ms.kf_octave[kf_rows].reshape(-1))
+    ).reshape(kp.shape)
+
+    poses = np.zeros((C, 7), np.float32)
+    poses[:, 0] = 1.0
+    poses[: len(kf_rows)] = np.asarray(ms.kf_pose[kf_rows])
+    pts = np.zeros((P, 3), np.float32)
+    pts[: len(pt_rows)] = np.asarray(ms.pt_xyz[pt_rows])
+
+    cam_idx = np.repeat(np.arange(C), F)[: len(kf_rows) * F]
+    res = ba.bundle_adjust(
+        jnp.asarray(K),
+        jnp.asarray(poses),
+        jnp.asarray(pts),
+        jnp.asarray(np.concatenate([cam_idx, np.zeros(
+            (C - len(kf_rows)) * F, np.int64)]), jnp.int32),
+        jnp.asarray(np.concatenate([np.clip(obs_pt, 0, None).reshape(-1),
+                                    np.zeros((C - len(kf_rows)) * F,
+                                             np.int64)]), jnp.int32),
+        jnp.asarray(np.concatenate([np.asarray(ms.kf_uv[kf_rows]).reshape(-1, 2),
+                                    np.zeros(((C - len(kf_rows)) * F, 2),
+                                             np.float32)])),
+        jnp.asarray(np.concatenate([conf.reshape(-1), np.zeros(
+            (C - len(kf_rows)) * F, np.float32)])),
+        jnp.asarray(np.arange(C) >= 2) & jnp.asarray(np.arange(C) < len(kf_rows)),
+        jnp.asarray(np.arange(P) < len(pt_rows)),
+        n_iters=n_iters,
+    )
+
+    new_kf_pose = ms.kf_pose.at[jnp.asarray(kf_rows)].set(
+        res.poses[: len(kf_rows)]
+    )
+    new_pt_xyz = ms.pt_xyz.at[jnp.asarray(pt_rows)].set(
+        res.points[: len(pt_rows)]
+    )
+    return ms._replace(kf_pose=new_kf_pose, pt_xyz=new_pt_xyz)
+
+
 @partial(jax.jit, static_argnames=("max_cull",))
 def cull_keyframes(ms: M.MapState, kf_current, *, redundancy=0.9,
                    min_redundant_obs=4, protect_recent=3, max_cull: int = 4):

@@ -34,7 +34,7 @@ class TrackResult(NamedTuple):
     n_candidates: jnp.ndarray # scalar int32 — visible map points
 
 
-@partial(jax.jit, static_argnames=("img_w", "img_h"))
+@partial(jax.jit, static_argnames=("img_w", "img_h", "fused"))
 def track_frame(
     ms: M.MapState,
     K,
@@ -46,6 +46,7 @@ def track_frame(
     img_h: int,
     max_hamming=matcher.TH_HIGH,
     nn_ratio=0.9,
+    fused: bool = False,
 ):
     """Match frame features against the active submap's points around a pose
     prediction, then run motion-only BA.
@@ -53,6 +54,9 @@ def track_frame(
     ``radius``: projection search window in pixels (scalar; the reference
     widens it per octave — here a single wide gate, the ratio test does the
     rest).
+    ``fused``: route the masked Hamming match through the Pallas VMEM kernel
+    (ops.pallas_matcher) instead of materializing the [F, P] distance matrix
+    in HBM — TPU only; the host facade enables it per backend.
     """
     uv_proj, depth = camera.project_world(K, pose_pred, ms.pt_xyz)
     vis = (
@@ -65,16 +69,24 @@ def track_frame(
         & (uv_proj[:, 1] < img_h)
     )
 
-    dist = matcher.hamming_matrix(feats.desc, ms.pt_desc)  # [F, P]
-    mask = matcher.radius_mask(feats.uv, uv_proj, radius)
-    idx, mdist = matcher.match(
-        dist,
-        feats.valid,
-        vis,
-        mask=mask,
-        max_dist=max_hamming,
-        ratio=nn_ratio,
-    )
+    if fused:
+        from ..ops.pallas_matcher import fused_match
+
+        idx, mdist = fused_match(
+            feats.desc, ms.pt_desc, feats.uv, uv_proj, radius, feats.valid,
+            vis, max_dist=max_hamming, ratio=nn_ratio,
+        )
+    else:
+        mask = matcher.radius_mask(feats.uv, uv_proj, radius)
+        dist = matcher.hamming_matrix(feats.desc, ms.pt_desc)  # [F, P]
+        idx, mdist = matcher.match(
+            dist,
+            feats.valid,
+            vis,
+            mask=mask,
+            max_dist=max_hamming,
+            ratio=nn_ratio,
+        )
 
     matched = idx >= 0
     X = ms.pt_xyz[jnp.clip(idx, 0)]
