@@ -60,6 +60,12 @@ class MapConfig:
     min_covis_weight: int = 15
     # reference launch/main.launch:33 kf_culling (default false)
     kf_culling: bool = False
+    # loop closing stays active alongside the rumination merge (reference
+    # activeLC from YAML loopClosing, System.cc:99-103)
+    loop_closing: bool = True
+    loop_check_interval: int = 4   # check every Nth keyframe
+    loop_min_score: int = 30       # retrieval score gate
+    loop_min_inliers: int = 25     # Sim3 verification gate
 
 
 @dataclasses.dataclass(frozen=True)

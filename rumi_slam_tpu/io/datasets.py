@@ -27,6 +27,8 @@ __all__ = [
     "load_groundtruth",
     "resolve_groundtruth",
     "TumSequence",
+    "EurocSequence",
+    "euroc_gt_csv_to_txt",
     "DATASET_NAMES",
 ]
 
@@ -199,3 +201,75 @@ class TumSequence:
 
     def groundtruth(self):
         return load_groundtruth(os.path.join(self.root, "groundtruth.txt"))
+
+
+def euroc_gt_csv_to_txt(csv_path, out_path):
+    """Convert EuRoC ``state_groundtruth_estimate0/data.csv`` to TUM-style
+    groundtruth.txt — the reference's preprocessing step
+    (scripts/utils/dataset_preprocess/euroc_gt_csv_to_txt.py: ns -> s
+    timestamps, keeps the CSV's (qw qx qy qz) quaternion order)."""
+    rows = []
+    with open(csv_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            v = line.split(",")
+            t = float(v[0]) * 1e-9
+            tx, ty, tz = v[1:4]
+            qw, qx, qy, qz = v[4:8]
+            rows.append(f"{t:.6f} {tx} {ty} {tz} {qw} {qx} {qy} {qz}")
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    Path(out_path).write_text("\n".join(rows) + "\n")
+    return len(rows)
+
+
+@dataclass
+class EurocSequence:
+    """EuRoC MAV sequence: ``mav0/cam0/data.csv`` (ns timestamps + png
+    filenames) + optional groundtruth CSV.  The reference replays EuRoC after
+    converting it to TUM layout (dataset_preprocess/*); this loader reads the
+    native layout directly."""
+
+    root: str
+    cam: str = "cam0"
+
+    def __post_init__(self):
+        self.root = str(self.root)
+        csv_path = os.path.join(self.root, "mav0", self.cam, "data.csv")
+        times, names = [], []
+        with open(csv_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                v = line.split(",")
+                times.append(float(v[0]) * 1e-9)
+                names.append(v[1].strip())
+        self.times = np.asarray(times, np.float64)
+        self._names = names
+
+    def __len__(self):
+        return len(self.times)
+
+    def frame(self, i: int):
+        from PIL import Image
+
+        p = os.path.join(self.root, "mav0", self.cam, "data", self._names[i])
+        img = Image.open(p).convert("L")
+        return np.asarray(img, dtype=np.float32), float(self.times[i])
+
+    def groundtruth(self):
+        csv_path = os.path.join(
+            self.root, "mav0", "state_groundtruth_estimate0", "data.csv")
+        times, xyz, quat = [], [], []
+        with open(csv_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                v = line.split(",")
+                times.append(float(v[0]) * 1e-9)
+                xyz.append([float(x) for x in v[1:4]])
+                quat.append([float(x) for x in v[4:8]])  # (qw qx qy qz)
+        return (np.asarray(times), np.asarray(xyz), np.asarray(quat))

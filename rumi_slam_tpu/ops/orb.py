@@ -130,6 +130,28 @@ def _descriptors(patches, angles):
     return packed.astype(jnp.uint32)
 
 
+@jax.jit
+def descriptors_at(img, uv, valid):
+    """Orientation + BRIEF descriptors for EXTERNALLY GIVEN keypoints (level-0
+    pixels) — the reference's CloudFrameComputeDescriptors
+    (ORBextractor.cc:989: descriptors for cloud-map KFs whose keypoints came
+    over the wire without descriptors).
+
+    Returns (desc [N,8] uint32, angle [N]).
+    """
+    yx = jnp.stack(
+        [jnp.round(uv[:, 1]).astype(jnp.int32),
+         jnp.round(uv[:, 0]).astype(jnp.int32)], axis=-1
+    )
+    h, w = img.shape
+    yx = jnp.clip(yx, 0, jnp.asarray([h - 1, w - 1]))
+    patches = image.gather_patches(img, yx, PATCH_R)
+    angles = _orientation(patches)
+    desc = _descriptors(image.blur_patches(patches), angles)
+    zero = jnp.zeros_like(desc)
+    return jnp.where(valid[:, None], desc, zero), jnp.where(valid, angles, 0.0)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_features", "n_levels", "scale_factor", "cell", "k_cell"),

@@ -40,6 +40,7 @@ from ..geometry import camera, lie
 from . import robust
 
 CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
 
 
 class BAResult(NamedTuple):
@@ -71,19 +72,44 @@ def _inv3x3(M):
     return adj * inv_det[..., None, None]
 
 
-def _problem_terms(K, poses, points, cam_idx, pt_idx, uv, conf):
+def _problem_terms(K, poses, points, cam_idx, pt_idx, uv, conf, bf=None,
+                   ur=None):
+    """Residuals/Jacobians/IRLS weights per observation.
+
+    With ``bf``/``ur`` given, observations where ur >= 0 get the 3-row
+    stereo residual (u, v, u_r) and the stereo chi2 gate — the reference's
+    mixed mono+stereo edge sets in every BA problem (Optimizer.cc:54/:1003
+    stereo branches); rows with ur < 0 zero-weight the third row.
+    """
     pose_o = poses[cam_idx]
     X_o = points[pt_idx]
-    r, Jc, Jp, depth = camera.reproj_residual_and_jacobians(K, pose_o, X_o, uv)
-    chi2 = jnp.sum(r * r, axis=-1) * conf
-    w = conf * robust.huber_weight(chi2, CHI2_MONO) * (depth > 0.05)
-    cost = jnp.sum(jnp.where(conf > 0, robust.huber_cost(chi2, CHI2_MONO), 0.0))
+    if ur is None:
+        r, Jc, Jp, depth = camera.reproj_residual_and_jacobians(
+            K, pose_o, X_o, uv)
+        chi2 = jnp.sum(r * r, axis=-1) * conf
+        th = CHI2_MONO
+    else:
+        has_ur = ur >= 0
+        r, Jc, Jp, depth = camera.reproj_residual_and_jacobians_stereo(
+            K, bf, pose_o, X_o, uv, jnp.maximum(ur, 0.0))
+        row_w = jnp.concatenate(
+            [jnp.ones_like(ur)[:, None].repeat(2, axis=1),
+             has_ur[:, None].astype(jnp.float32)], axis=1)
+        r = r * row_w
+        Jc = Jc * row_w[:, :, None]
+        Jp = Jp * row_w[:, :, None]
+        chi2 = jnp.sum(r * r, axis=-1) * conf
+        th = jnp.where(has_ur, CHI2_STEREO, CHI2_MONO)
+    w = conf * robust.huber_weight(chi2, th) * (depth > 0.05)
+    cost = jnp.sum(jnp.where(conf > 0, robust.huber_cost(chi2, th), 0.0))
     return r, Jc, Jp, w, cost, chi2
 
 
-def _solve_step(K, poses, points, cam_idx, pt_idx, uv, conf, cam_free, pt_free, lam):
+def _solve_step(K, poses, points, cam_idx, pt_idx, uv, conf, cam_free, pt_free,
+                lam, bf=None, ur=None):
     C, P = poses.shape[0], points.shape[0]
-    r, Jc, Jp, w, _, _ = _problem_terms(K, poses, points, cam_idx, pt_idx, uv, conf)
+    r, Jc, Jp, w, _, _ = _problem_terms(K, poses, points, cam_idx, pt_idx, uv,
+                                        conf, bf, ur)
 
     Hcc = jax.ops.segment_sum(
         jnp.einsum("oki,o,okj->oij", Jc, w, Jc), cam_idx, num_segments=C
@@ -151,8 +177,14 @@ def bundle_adjust(
     pt_free,
     *,
     n_iters: int = 10,
+    bf=None,
+    ur=None,
 ) -> BAResult:
-    """Run LM bundle adjustment; see module docstring for the layout."""
+    """Run LM bundle adjustment; see module docstring for the layout.
+
+    Optional stereo: pass ``bf`` (fx*baseline) and per-observation ``ur``
+    (virtual right u; < 0 = mono row) to add the u_r residual row.
+    """
     cam_free = cam_free.astype(bool)
     pt_free = pt_free.astype(bool)
     cam_idx = jnp.clip(cam_idx, 0, poses.shape[0] - 1)
@@ -160,12 +192,14 @@ def bundle_adjust(
 
     def body(carry, _):
         poses, points, lam = carry
-        _, _, _, _, cost0, _ = _problem_terms(K, poses, points, cam_idx, pt_idx, uv, conf)
+        _, _, _, _, cost0, _ = _problem_terms(
+            K, poses, points, cam_idx, pt_idx, uv, conf, bf, ur)
         cand_poses, cand_points = _solve_step(
-            K, poses, points, cam_idx, pt_idx, uv, conf, cam_free, pt_free, lam
+            K, poses, points, cam_idx, pt_idx, uv, conf, cam_free, pt_free,
+            lam, bf, ur
         )
         _, _, _, _, cost1, _ = _problem_terms(
-            K, cand_poses, cand_points, cam_idx, pt_idx, uv, conf
+            K, cand_poses, cand_points, cam_idx, pt_idx, uv, conf, bf, ur
         )
         accept = cost1 < cost0
         poses = jnp.where(accept, cand_poses, poses)
@@ -176,10 +210,12 @@ def bundle_adjust(
     (poses, points, _), _ = jax.lax.scan(
         body, (poses, points, jnp.float32(1e-4)), None, length=n_iters
     )
-    _, _, _, _, cost, chi2 = _problem_terms(K, poses, points, cam_idx, pt_idx, uv, conf)
+    _, _, _, _, cost, chi2 = _problem_terms(
+        K, poses, points, cam_idx, pt_idx, uv, conf, bf, ur)
+    th = CHI2_MONO if ur is None else jnp.where(ur >= 0, CHI2_STEREO, CHI2_MONO)
     return BAResult(
         poses=poses,
         points=points,
         cost=cost,
-        inlier_obs=(chi2 <= CHI2_MONO) & (conf > 0),
+        inlier_obs=(chi2 <= th) & (conf > 0),
     )

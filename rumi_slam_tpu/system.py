@@ -361,6 +361,8 @@ class SlamSystem:
             ms, self.K, kid,
             window=self.cfg.mapping.local_window,
             n_iters=self.cfg.mapping.local_ba_iters,
+            use_stereo=self._cur_z is not None,
+            bf=self.cfg.camera.bf,
         )
         ms = local_mapping.cull_points(ms)
         ms = M.refresh_point_descriptors(ms, kid)
@@ -372,6 +374,34 @@ class SlamSystem:
         self.last_pose = ms.kf_pose[kid]
         self.frames_since_kf = 0
         self.stats["n_kf"] += 1
+        mc = self.cfg.mapping
+        if mc.loop_closing and self.stats["n_kf"] % mc.loop_check_interval == 0:
+            with self.timer.stage("loop_closing"):
+                self._check_loop(int(kid))
+
+    def _check_loop(self, kf_id: int):
+        """Per-KF loop detection/verification/correction (the reference's
+        LoopClosing thread consuming LocalMapping's queue, LoopClosing.cc:87;
+        its spontaneous merge is superseded by the rumination merge but loop
+        correction within a map stays active, SURVEY.md §2.1)."""
+        from .tracking import loop_closing as LC
+
+        mc = self.cfg.mapping
+        cand = LC.detect_loop_candidates(self.ms, kf_id)
+        for r in range(int(cand.kf_id.shape[0])):
+            if int(cand.score[r]) < mc.loop_min_score:
+                break
+            S, n_inl, _ = LC.verify_loop(
+                self._next_key(), self.K, self.ms, kf_id, int(cand.kf_id[r])
+            )
+            if int(n_inl) >= mc.loop_min_inliers:
+                self.ms = LC.close_loop(
+                    self.ms, self.K, kf_id, int(cand.kf_id[r]), S
+                )
+                self.last_pose = self.ms.kf_pose[kf_id]
+                self.velocity = lie.se3_identity()
+                self.stats["n_loops"] = self.stats.get("n_loops", 0) + 1
+                return
 
     # ------------------------------------------------------------------
     def _track_recently_lost(self, feats, t):
@@ -439,6 +469,25 @@ class SlamSystem:
         self.trajectory.append(
             (t, np.asarray(pose), int(self.ms.active_map), self.state.name)
         )
+
+    def save_map(self, path) -> str:
+        """Checkpoint the whole Atlas/MapState (reference System::SaveAtlas,
+        System.h:217 — boost serialization there, npz + sha256 here).
+        Returns the checkpoint path."""
+        from .mapstate import checkpoint
+
+        checkpoint.save(self.ms, path)
+        return str(path)
+
+    def load_map(self, path):
+        """Restore a MapState checkpoint (reference System::LoadAtlas); the
+        tracker resumes in RECENTLY_LOST and relocalizes against it."""
+        from .mapstate import checkpoint
+
+        self.ms = checkpoint.load(path)
+        self.state = TrackState.RECENTLY_LOST
+        self.lost_since = None
+        self.last_kf_id = int(self.ms.n_kf) - 1
 
     def keyframe_trajectory(self, map_id=None):
         """(times, poses_cw) of the KEYFRAMES of one submap — what the

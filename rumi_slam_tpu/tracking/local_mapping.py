@@ -91,9 +91,10 @@ def triangulate_with_neighbor(ms: M.MapState, K, kf_new, kf_ref, *,
     return ms, jnp.sum(ok.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("window", "n_iters"))
+@partial(jax.jit, static_argnames=("window", "n_iters", "use_stereo"))
 def local_bundle_adjustment(ms: M.MapState, K, kf_id, *, window: int = 8,
-                            n_iters: int = 6):
+                            n_iters: int = 6, use_stereo: bool = False,
+                            bf=0.0):
     """Windowed BA around ``kf_id``: the covisibility window is adjustable
     (minus the two lowest-id anchors for gauge), all observed points are free.
 
@@ -126,9 +127,13 @@ def local_bundle_adjustment(ms: M.MapState, K, kf_id, *, window: int = 8,
     anchor2 = jnp.min(sec)
     cam_free = valid_w & (ids != anchor1) & (ids != anchor2)
 
+    # stereo/RGB-D: add the u_r residual row where the window KFs carry
+    # stereo measurements (reference LocalBundleAdjustment stereo edges)
+    ur = ms.kf_ur[ids].reshape(-1) if use_stereo else None
     res = ba.bundle_adjust(
         K, poses_w, ms.pt_xyz, cam_idx, jnp.clip(pt, 0), uv, conf,
         cam_free, ms.pt_valid, n_iters=n_iters,
+        bf=jnp.float32(bf) if use_stereo else None, ur=ur,
     )
 
     # write back window poses and all points
