@@ -28,6 +28,12 @@ class CameraConfig:
     p1: float = 0.0
     p2: float = 0.0
     k3: float = 0.0
+    # camera model: "pinhole" (radtan distortion above) or "kb8" fisheye
+    # (reference Camera.type PinHole / KannalaBrandt8, Settings.cc); for kb8
+    # keypoints are rectified to the ideal pinhole (fx..cy) once after
+    # extraction, keeping the compiled pipeline single-model
+    model: str = "pinhole"
+    kb_coeffs: tuple = (0.0, 0.0, 0.0, 0.0)  # KB8 k0..k3
 
     @property
     def bf(self) -> float:

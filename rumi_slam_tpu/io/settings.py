@@ -84,6 +84,15 @@ def config_from_settings(d: dict, base: Config | None = None) -> Config:
         p2=float(g("Camera1.p2", base.camera.p2)),
         k3=float(g("Camera1.k3", base.camera.k3)),
     )
+    # Camera.type KannalaBrandt8: k1..k4 are the fisheye polynomial
+    # coefficients, not radtan (Settings.cc readCamera1 fisheye branch)
+    if str(g("Camera.type", "PinHole")).lower().startswith("kannala"):
+        cam = dataclasses.replace(
+            cam, model="kb8",
+            kb_coeffs=(float(g("Camera1.k1", 0.0)), float(g("Camera1.k2", 0.0)),
+                       float(g("Camera1.k3", 0.0)), float(g("Camera1.k4", 0.0))),
+            k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
+        )
     orb = dataclasses.replace(
         base.orb,
         n_features=int(g("ORBextractor.nFeatures", base.orb.n_features)),

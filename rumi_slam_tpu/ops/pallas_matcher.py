@@ -25,15 +25,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QT = 256   # query rows per program
-PT = 512   # point columns per inner step
+PT = 2048  # max point columns per inner step (fewer, fatter MXU calls: the
+           # [QT, PT] distance tile is 2 MB f32 in VMEM, well within budget;
+           # shrinks to the largest divisor of P at call time)
 
 _BIG = 1e9  # plain float: jnp constants cannot be captured by pallas kernels
 
 
 def _kernel(r2_ref, qd_ref, pd_ref, quv_ref, puv_ref,
-            best_ref, second_ref, idx_ref):
+            best_ref, second_ref, idx_ref, *, pt: int):
     """qd: [QT, 256] i8 (+/-1); pd: [P, 256] i8; quv: [QT, 2]; puv: [P, 2];
-    r2: [1, 1] f32 in SMEM (squared window radius)."""
+    r2: [1, 1] f32 in SMEM (squared window radius); pt: point tile size."""
+    PT = pt
     n_pt = pd_ref.shape[0]
     n_steps = n_pt // PT
     r2 = r2_ref[0, 0]
@@ -105,7 +108,7 @@ def fused_match(desc_q_packed, desc_p_packed, uv_q, uv_p, radius,
     F = desc_q_packed.shape[0]
     P = desc_p_packed.shape[0]
     assert F % QT == 0, f"query count {F} must be a multiple of {QT}"
-    assert P % PT == 0, f"point count {P} must be a multiple of {PT}"
+    pt = next(t for t in (PT, 1024, 512, 256, 128) if P % t == 0)
 
     qd = unpack_pm1(desc_q_packed)
     pd = unpack_pm1(desc_p_packed)
@@ -116,7 +119,7 @@ def fused_match(desc_q_packed, desc_p_packed, uv_q, uv_p, radius,
 
     grid = (F // QT,)
     best, second, idx = pl.pallas_call(
-        _kernel,
+        partial(_kernel, pt=pt),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -96,7 +96,18 @@ class SlamSystem:
             cell=o.cell,
             k_cell=o.k_cell,
         )
-        if self._dist is not None:
+        if self.cfg.camera.model == "kb8":
+            # fisheye: rectify keypoints to the ideal pinhole once
+            # (reference KannalaBrandt8 path through GeometricCamera)
+            from .geometry import camera as cam
+            from .geometry import camera_kb8 as kb8
+
+            P8 = jnp.concatenate(
+                [self.K, jnp.asarray(self.cfg.camera.kb_coeffs, jnp.float32)]
+            )
+            rays = kb8.unproject(P8, feats.uv)
+            feats = feats._replace(uv=cam.project(self.K, rays))
+        elif self._dist is not None:
             # undistort keypoints once; downstream stays ideal pinhole
             # (reference Frame::UndistortKeyPoints)
             from .geometry import distortion
