@@ -18,6 +18,53 @@ from rumi_slam_tpu.system import SlamSystem
 
 
 @pytest.mark.slow
+def test_rumination_end_to_end_async():
+    """Same scenario driven through the ASYNC rumination shard (the
+    reference's non-blocking actionlib flow): the backend build overlaps the
+    tracking loop; the merge lands when poll() delivers the CloudMap."""
+    import dataclasses
+    import time
+
+    from rumi_slam_tpu.rumination.remote import AsyncRuminationShard
+
+    seq = SyntheticSequence(
+        n_frames=110, width=320, height=240, n_points=2000, seed=11,
+        patch=3, lost_span=(45, 55),
+    )
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(cfg.tracking, reloc_window_s=0.1)
+    )
+    slam = SlamSystem(cfg)
+    shard = AsyncRuminationShard(cfg)
+    coord = RuminationCoordinator(slam, cfg, async_shard=shard)
+    try:
+        merged = False
+        for i in range(len(seq)):
+            img, t = seq.frame(i)
+            slam.track_monocular(img, t)
+            info = coord.maybe_ruminate()
+            if info and info.get("result") == "merged":
+                merged = True
+        # drain: the build may still be in flight when frames run out
+        deadline = time.time() + 120
+        while not merged and time.time() < deadline:
+            info = coord.maybe_ruminate()
+            if info and info.get("result") == "merged":
+                merged = True
+            if info and "failed" in str(info.get("result", "")):
+                break
+            time.sleep(0.05)
+    finally:
+        shard.shutdown()
+
+    assert slam.stats["n_new_maps"] >= 1, slam.stats
+    assert merged, f"no merge: {coord.history}"
+    kt, kp = slam.keyframe_trajectory()
+    assert kt.min() < seq.times[40] and kt.max() > seq.times[60]
+
+
+@pytest.mark.slow
 def test_rumination_end_to_end():
     seq = SyntheticSequence(
         n_frames=110, width=320, height=240, n_points=2000, seed=11,
