@@ -87,6 +87,10 @@ class TrackConfig:
     reloc_window_s: float = 3.0      # reference Tracking.cc:1716
     min_init_depth_points: int = 100  # stereo/RGB-D init gate (ref: 500 kp)
     max_new_depth_points: int = 128   # per-KF depth-created points (ref: 100)
+    # monocular two-view initialization gates (reference
+    # SearchForInitialization >= 100 matches, ReconstructWithTwoViews support)
+    init_min_matches: int = 80
+    init_min_inliers: int = 60
     # new-submap gates on LOST (reference Tracking.cc:1924-1933:
     # KF count, duration, AND trajectory curvature = path/chord;
     # curvature default 0.0 = disabled, CloudImageSampler.h:80)

@@ -21,16 +21,36 @@ def _gradients(img):
     return gx, gy
 
 
+def _gather_patches_bilinear(img, yx_f, win_r):
+    """Patches at FRACTIONAL centers: bilinear blend of the four
+    integer-center patches (subpixel sampling — OpenCV's LK interpolates;
+    integer rounding biases the converged displacement by up to 0.5 px)."""
+    i0 = jnp.floor(yx_f).astype(jnp.int32)
+    f = yx_f - i0.astype(yx_f.dtype)           # [N,2] (fy, fx)
+    fy = f[:, 0][:, None, None]
+    fx = f[:, 1][:, None, None]
+    P00 = im.gather_patches(img, i0, win_r)
+    P01 = im.gather_patches(img, i0 + jnp.asarray([0, 1]), win_r)
+    P10 = im.gather_patches(img, i0 + jnp.asarray([1, 0]), win_r)
+    P11 = im.gather_patches(img, i0 + jnp.asarray([1, 1]), win_r)
+    return ((1 - fy) * (1 - fx) * P00 + (1 - fy) * fx * P01
+            + fy * (1 - fx) * P10 + fy * fx * P11)
+
+
 def _lk_level(prev, cur, pts, disp, *, win_r=7, iters=5):
     """One pyramid level of LK refinement.
 
     pts: [N,2] (x,y) in this level's coords.  disp: [N,2] current estimate.
     """
     gx, gy = _gradients(prev)
-    yx = jnp.stack([pts[:, 1], pts[:, 0]], -1).astype(jnp.int32)
-    P0 = im.gather_patches(prev, yx, win_r)        # [N,w,w]
-    Gx = im.gather_patches(gx, yx, win_r)
-    Gy = im.gather_patches(gy, yx, win_r)
+    # template + gradients sampled at the TRUE fractional point positions —
+    # truncating here while P1 below interpolates would register the
+    # template against a shifted grid (phantom sub-pixel flow on identical
+    # frames)
+    yx = jnp.stack([pts[:, 1], pts[:, 0]], -1)
+    P0 = _gather_patches_bilinear(prev, yx, win_r)   # [N,w,w]
+    Gx = _gather_patches_bilinear(gx, yx, win_r)
+    Gy = _gather_patches_bilinear(gy, yx, win_r)
 
     g11 = jnp.sum(Gx * Gx, axis=(1, 2))
     g12 = jnp.sum(Gx * Gy, axis=(1, 2))
@@ -43,8 +63,7 @@ def _lk_level(prev, cur, pts, disp, *, win_r=7, iters=5):
         yx2 = jnp.stack(
             [pts[:, 1] + disp[:, 1], pts[:, 0] + disp[:, 0]], -1
         )
-        yx2i = jnp.round(yx2).astype(jnp.int32)
-        P1 = im.gather_patches(cur, yx2i, win_r)
+        P1 = _gather_patches_bilinear(cur, yx2, win_r)
         dt = P1 - P0
         b1 = jnp.sum(dt * Gx, axis=(1, 2))
         b2 = jnp.sum(dt * Gy, axis=(1, 2))
@@ -80,7 +99,10 @@ def lk_flow(prev, cur, pts, valid, *, n_levels=3, win_r=7, iters=5):
     for lvl in range(n_levels - 1, -1, -1):
         scale = 2.0 ** lvl
         disp_l = disp / scale
-        pts_l = pts / scale
+        # pixel-CENTER-aligned level coordinates: resize maps source pixel x
+        # to (x + 0.5)/s - 0.5 at the coarser level (plain x/s accumulates a
+        # ~0.25 px offset per level into the coarse-to-fine handoff)
+        pts_l = (pts + 0.5) / scale - 0.5
         disp_l, ok = _lk_level(pyr_p[lvl], pyr_c[lvl], pts_l, disp_l,
                                win_r=win_r, iters=iters)
         disp = disp_l * scale

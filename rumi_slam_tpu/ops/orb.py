@@ -193,9 +193,16 @@ def extract_orb(
         patch_list.append(image.gather_patches(il, yx, PATCH_R))
 
         s = scale_factor ** lvl
-        uv0 = jnp.stack(
-            [yx[:, 1].astype(jnp.float32), yx[:, 0].astype(jnp.float32)], -1
-        ) * s
+        # pixel-CENTER-aligned upscale: resize maps level pixel x to level-0
+        # coordinate (x + 0.5) * s - 0.5; plain x * s biases high-level
+        # keypoints by 0.5 * (s - 1) px (~1.3 px at level 7)
+        uv0 = (
+            jnp.stack(
+                [yx[:, 1].astype(jnp.float32), yx[:, 0].astype(jnp.float32)],
+                -1,
+            )
+            + 0.5
+        ) * s - 0.5
         uvs.append(uv0)
         resps.append(resp)
         octs.append(jnp.full((budgets[lvl],), lvl, jnp.int32))

@@ -48,6 +48,17 @@ class RuminationBackend:
                 reloc_window_s=1e9,
                 match_radius=60.0,
                 match_radius_wide=120.0,
+                # bundle images are KF-subsampled (big inter-frame baselines):
+                # initialization cannot demand realtime-level overlap
+                init_min_matches=max(40, config.tracking.init_min_matches // 2),
+                init_min_inliers=max(30, config.tracking.init_min_inliers // 2),
+            ),
+            # offline budget: double the feature count — the back-submap must
+            # relocalize across the loss gap from sparse, wide-baseline views
+            # (the reference's DROID backend is likewise far heavier per frame
+            # than the edge tracker)
+            orb=dataclasses.replace(
+                config.orb, n_features=max(512, config.orb.n_features),
             ),
         )
 

@@ -220,7 +220,7 @@ class SlamSystem:
             f0, feats, mask=mask, max_dist=matcher.TH_LOW, ratio=0.9
         )
         n_matches = int(jnp.sum(idx >= 0))
-        if n_matches < 80:
+        if n_matches < cfg.tracking.init_min_matches:
             # too little overlap: make the newer frame the init reference
             self._init_feats = feats
             self._init_time = t
@@ -232,7 +232,8 @@ class SlamSystem:
         r1 = cam.unproject(self.K, f0.uv)
         r2 = cam.unproject(self.K, feats.uv[jnp.clip(idx, 0)])
         res = two_view.two_view_init(
-            self._next_key(), r1, r2, matched, min_inliers=60,
+            self._next_key(), r1, r2, matched,
+            min_inliers=cfg.tracking.init_min_inliers,
             focal=float(self.K[0]),
         )
         if not bool(res.ok):
