@@ -96,6 +96,31 @@ def gather_patches(img, centers_yx, patch_radius: int):
     return jax.vmap(one)(strips, centers_yx[:, 1])
 
 
+def gather_patches_multi(imgs, centers_yx, patch_radius: int):
+    """gather_patches over C stacked images sharing the same centers.
+
+    imgs: [C, H, W]; returns [C, N, 2r+1, 2r+1].  One rows-gather + one
+    dynamic-slice pass serves all channels (used to fetch the raw and the
+    blurred pixels of each keypoint patch in a single gather).
+    """
+    r = patch_radius
+    padded = jnp.pad(imgs, ((0, 0), (r, r), (r, r)), mode="reflect")
+    size = 2 * r + 1
+    n = centers_yx.shape[0]
+    wp = padded.shape[2]
+
+    rows = (centers_yx[:, 0, None] + jnp.arange(size)[None, :]).reshape(-1)
+    strips = padded[:, rows].reshape(-1, n, size, wp)
+
+    def one(strip_c, x):
+        return jax.lax.dynamic_slice(strip_c, (0, 0, x),
+                                     (strip_c.shape[0], size, size))
+
+    return jnp.swapaxes(
+        jax.vmap(one, in_axes=(1, 0))(strips, centers_yx[:, 1]), 0, 1
+    )
+
+
 def blur_patches(patches, sigma=2.0, radius=3):
     """Separable Gaussian blur applied per patch [N, P, P] (replaces the
     whole-image blur before BRIEF sampling: one gather feeds both the

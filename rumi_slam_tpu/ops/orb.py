@@ -11,12 +11,13 @@ Differences by design, not omission:
   BRIEF paper) rather than OpenCV's learned table — descriptors are
   self-consistent within this framework, which is all SLAM needs;
 * rotation is discretized to 30 bins of 12 degrees (exactly OpenCV ORB's
-  discretization) so BRIEF sampling becomes ONE one-hot MXU matmul over all
-  30 precomputed rotated index tables followed by a bin-select einsum —
-  measured 2.3x faster than per-keypoint rotated gathers, which are scalar-
-  gather-bound on TPU;
-* Gaussian blur is applied per-PATCH after gathering (ops.image.blur_patches)
-  so a single gather per level feeds both orientation moments and BRIEF;
+  discretization) so BRIEF sampling becomes ONE ±1-difference MXU matmul over
+  all 30 precomputed rotated index tables (column b*256+k = point1 - point0 of
+  bit k at bin b; ``patch @ D > 0`` IS the BRIEF test) followed by a bin
+  gather — faster than per-keypoint rotated gathers (scalar-gather-bound on
+  TPU), and half the FLOPs/HBM of sampling both pattern points separately;
+* Gaussian blur runs once per pyramid LEVEL (the reference blurs level images
+  too, ORBextractor.cc:1080); orientation reads the unblurred patches;
 * everything is static-shape: each pyramid level contributes a fixed budget
   of slots, invalid slots carry ``valid=False``.
 
@@ -48,8 +49,12 @@ PATTERN = np.clip(
 
 
 def _build_rotation_tables():
-    """Per-bin flattened patch indices [N_ROT_BINS, 512] and the one-hot
-    sampling matrix [PATCH*PATCH, N_ROT_BINS*512] for the MXU path."""
+    """Per-bin flattened patch indices [N_ROT_BINS, 512] and the ±1
+    DIFFERENCE sampling matrix [PATCH*PATCH, N_ROT_BINS*256] for the MXU
+    path: column (b*256 + k) holds +1 at bin-b's rotated index of pattern
+    point 1 of bit k and -1 at point 0, so ``patch @ D > 0`` IS the BRIEF
+    test — half the FLOPs and half the HBM intermediate of sampling both
+    points separately."""
     tabs = []
     for b in range(N_ROT_BINS):
         th = 2.0 * np.pi * b / N_ROT_BINS
@@ -60,10 +65,13 @@ def _build_rotation_tables():
         iy = np.clip(np.round(ry).astype(np.int64) + PATCH_R, 0, PATCH - 1)
         ix = np.clip(np.round(rx).astype(np.int64) + PATCH_R, 0, PATCH - 1)
         tabs.append((iy * PATCH + ix).reshape(-1))  # [512]
-    tab = np.stack(tabs)  # [30, 512]
-    A = np.zeros((PATCH * PATCH, N_ROT_BINS * 512), np.float32)
-    A[tab.reshape(-1), np.arange(N_ROT_BINS * 512)] = 1.0
-    return tab, A
+    tab = np.stack(tabs)  # [30, 512] (pairs interleaved: bit k -> 2k, 2k+1)
+    D = np.zeros((PATCH * PATCH, N_ROT_BINS * N_BITS), np.float32)
+    cols = np.arange(N_BITS)
+    for b in range(N_ROT_BINS):
+        np.add.at(D, (tab[b, 0::2], b * N_BITS + cols), -1.0)  # point 0
+        np.add.at(D, (tab[b, 1::2], b * N_BITS + cols), +1.0)  # point 1
+    return tab, D
 
 
 ROT_TABLE, _SAMPLING = _build_rotation_tables()
@@ -110,7 +118,7 @@ def _orientation(patches):
 
 
 def _descriptors(patches, angles):
-    """Rotation-binned BRIEF via one one-hot MXU matmul.
+    """Rotation-binned BRIEF via one ±1-difference MXU matmul.
 
     patches: [N, P, P] (blurred); angles: [N].  Returns packed [N, 8] uint32.
     """
@@ -118,11 +126,10 @@ def _descriptors(patches, angles):
     bins = jnp.round(angles * (N_ROT_BINS / (2.0 * jnp.pi))).astype(jnp.int32)
     bins = jnp.mod(bins, N_ROT_BINS)
     flat = patches.reshape(n, PATCH * PATCH).astype(jnp.bfloat16)
-    allv = jnp.dot(flat, SAMPLING_BF16, preferred_element_type=jnp.float32)
-    allv = allv.reshape(n, N_ROT_BINS, 2 * N_BITS)
-    sel = jax.nn.one_hot(bins, N_ROT_BINS, dtype=jnp.float32)
-    vals = jnp.einsum("nbs,nb->ns", allv, sel).reshape(n, N_BITS, 2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
+    diffs = jnp.dot(flat, SAMPLING_BF16, preferred_element_type=jnp.float32)
+    diffs = diffs.reshape(n, N_ROT_BINS, N_BITS)
+    vals = jnp.take_along_axis(diffs, bins[:, None, None], axis=1)[:, 0, :]
+    bits = (vals > 0).astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     packed = jnp.sum(
         bits.reshape(n, 8, 32) << shifts[None, None, :], axis=-1
@@ -145,9 +152,12 @@ def descriptors_at(img, uv, valid):
     )
     h, w = img.shape
     yx = jnp.clip(yx, 0, jnp.asarray([h - 1, w - 1]))
-    patches = image.gather_patches(img, yx, PATCH_R)
-    angles = _orientation(patches)
-    desc = _descriptors(image.blur_patches(patches), angles)
+    # blur once at image level (cheaper than per-patch, and border-correct)
+    both = image.gather_patches_multi(
+        jnp.stack([img, image.gaussian_blur(img)]), yx, PATCH_R
+    )
+    angles = _orientation(both[0])
+    desc = _descriptors(both[1], angles)
     zero = jnp.zeros_like(desc)
     return jnp.where(valid[:, None], desc, zero), jnp.where(valid, angles, 0.0)
 
@@ -178,7 +188,7 @@ def extract_orb(
     budgets = level_budgets(n_features, n_levels, scale_factor)
     pyr = image.build_pyramid(img, n_levels, scale_factor)
 
-    uvs, resps, octs, valids, patch_list = [], [], [], [], []
+    uvs, resps, octs, valids, patch_list, blur_list = [], [], [], [], [], []
     for lvl in range(n_levels):
         il = pyr[lvl]
         strong, weak = fast.fast_score_pair(il, threshold, min_threshold)
@@ -190,7 +200,11 @@ def extract_orb(
             score, budgets[lvl], cell=cell, k_cell=k_cell
         )
         resp = jnp.where(resp > bonus / 2, resp - bonus, resp)
-        patch_list.append(image.gather_patches(il, yx, PATCH_R))
+        both = image.gather_patches_multi(
+            jnp.stack([il, image.gaussian_blur(il)]), yx, PATCH_R
+        )
+        patch_list.append(both[0])
+        blur_list.append(both[1])
 
         s = scale_factor ** lvl
         # pixel-CENTER-aligned upscale: resize maps level pixel x to level-0
@@ -211,8 +225,7 @@ def extract_orb(
     # batch the per-keypoint work across ALL levels (patches share shape)
     patches = jnp.concatenate(patch_list, 0)          # [N, P, P]
     angles = _orientation(patches)
-    blurred = image.blur_patches(patches)
-    desc = _descriptors(blurred, angles)
+    desc = _descriptors(jnp.concatenate(blur_list, 0), angles)
 
     return Features(
         uv=jnp.concatenate(uvs, 0),

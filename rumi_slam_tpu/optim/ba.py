@@ -219,3 +219,39 @@ def bundle_adjust(
         cost=cost,
         inlier_obs=(chi2 <= th) & (conf > 0),
     )
+
+
+def marginalize(H, b, start: int, end: int):
+    """Schur-complement marginalization of block [start, end) out of a dense
+    (H, b) Gauss-Newton system — the reference's Optimizer::Marginalize
+    (/root/reference/src/rumi-slam/include/cloud_edge_slam_lib/Optimizer.h:94-96,
+    used by its inertial sliding-window optimizers).
+
+    Returns (H', b') of the SAME shape with the marginalized rows/cols zeroed,
+    matching the reference's convention.  ``start``/``end`` are static Python
+    ints (the caller knows its block layout at trace time).
+    """
+    n = H.shape[0]
+    keep = jnp.ones((n,), bool).at[start:end].set(False)
+    Haa = H[start:end, start:end]
+    # pseudo-inverse via eigendecomposition: the marginalized block is often
+    # rank-deficient (gauge freedom), exactly why the reference uses SVD here
+    w, V = jnp.linalg.eigh(0.5 * (Haa + Haa.T))
+    inv_w = jnp.where(w > 1e-8 * jnp.max(jnp.abs(w)), 1.0 / w, 0.0)
+    Haa_inv = (V * inv_w[None, :]) @ V.T
+    Hba = jnp.delete(H, slice(start, end), axis=0, assume_unique_indices=True)[
+        :, start:end
+    ]
+    Hbb = jnp.delete(
+        jnp.delete(H, slice(start, end), axis=0, assume_unique_indices=True),
+        slice(start, end), axis=1, assume_unique_indices=True,
+    )
+    ba_ = b[start:end]
+    bb = jnp.delete(b, slice(start, end), assume_unique_indices=True)
+    Hs = Hbb - Hba @ Haa_inv @ Hba.T
+    bs = bb - Hba @ Haa_inv @ ba_
+    # scatter back into full-size arrays with zeros at the marginalized block
+    idx = jnp.nonzero(keep, size=n - (end - start))[0]
+    H_out = jnp.zeros_like(H).at[jnp.ix_(idx, idx)].set(Hs)
+    b_out = jnp.zeros_like(b).at[idx].set(bs)
+    return H_out, b_out

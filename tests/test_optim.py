@@ -169,3 +169,25 @@ class TestPnP:
         assert bool(res.ok)
         e = lie.se3_log(lie.se3_compose(res.pose, lie.se3_inverse(poses[0])))
         assert float(jnp.linalg.norm(e)) < 1e-2
+
+
+def test_marginalize_schur():
+    """optim.ba.marginalize == dense Schur complement (Optimizer.h:94-96)."""
+    import numpy.linalg as la
+
+    from rumi_slam_tpu.optim import ba
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(9, 9))
+    H = A @ A.T + np.eye(9) * 0.1
+    b = rng.normal(size=9)
+    Ho, bo = ba.marginalize(
+        jnp.asarray(H, jnp.float32), jnp.asarray(b, jnp.float32), 3, 6
+    )
+    keep, m = [0, 1, 2, 6, 7, 8], [3, 4, 5]
+    Hs = H[np.ix_(keep, keep)] - H[np.ix_(keep, m)] @ la.inv(
+        H[np.ix_(m, m)]) @ H[np.ix_(m, keep)]
+    bs = b[keep] - H[np.ix_(keep, m)] @ la.inv(H[np.ix_(m, m)]) @ b[m]
+    assert np.allclose(np.asarray(Ho)[np.ix_(keep, keep)], Hs, atol=1e-3)
+    assert np.allclose(np.asarray(bo)[keep], bs, atol=1e-3)
+    assert np.allclose(np.asarray(Ho)[3:6, :], 0)
