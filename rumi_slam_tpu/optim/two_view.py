@@ -5,12 +5,14 @@ TPU-native equivalent of the reference's TwoViewReconstruction
 RANSAC for H and F in two host threads, model selection, motion decomposition
 and cheirality-checked triangulation; entry via Pinhole::ReconstructWithTwoViews
 at Tracking.cc:2126).  Re-designed as fixed-iteration vmapped hypothesis
-scoring: all RANSAC hypotheses are solved and scored in one batched program —
-no adaptive early exit, no threads.  Calibrated (essential) path only: since
-intrinsics are known, E subsumes the reference's F path; the H path exists to
-rescue pure-planar scenes and is approximated here by rejecting low-parallax
-solutions (the caller retries on later frames, which is also the reference's
-behavior when initialization fails).
+scoring: all RANSAC hypotheses for BOTH models are solved and scored in one
+batched program — no adaptive early exit, no threads.  Since intrinsics are
+known the fundamental path becomes a calibrated essential path; the
+homography path (4-point DLT + Faugeras SVD decomposition into 8 motion
+candidates) rescues pure-planar scenes where the 8-point essential DLT is
+rank-degenerate.  Model selection mirrors the reference's
+score-ratio rule (RH = SH/(SH+SF) > 0.40 → homography,
+TwoViewReconstruction.cc ReconstructH/ReconstructF).
 """
 
 from __future__ import annotations
@@ -83,6 +85,89 @@ def _decompose_E(E):
     return jnp.stack(cands)  # [4,7]
 
 
+def _four_point_h(r1, r2, w=None):
+    """Homography from >=4 normalized-plane pairs via DLT (x2 ~ H x1).
+
+    ``r1, r2`` are [M,3] rays; optional weights ``w`` [M] make this the
+    weighted-LS refinement used on the consensus set.  Rows follow the
+    standard 2-equations-per-point DLT with h = vec(H) the smallest
+    eigenvector of AᵀA.
+    """
+    x1, y1 = r1[:, 0] / r1[:, 2], r1[:, 1] / r1[:, 2]
+    x2, y2 = r2[:, 0] / r2[:, 2], r2[:, 1] / r2[:, 2]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    rows_a = jnp.stack(
+        [x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], axis=-1)
+    rows_b = jnp.stack(
+        [z, z, z, x1, y1, o, -y2 * x1, -y2 * y1, -y2], axis=-1)
+    A = jnp.concatenate([rows_a, rows_b], axis=0)  # [2M,9]
+    if w is not None:
+        A = A * jnp.concatenate([w, w])[:, None]
+    ATA = A.T @ A
+    _, V = jnp.linalg.eigh(ATA)
+    return V[:, 0].reshape(3, 3)
+
+
+def _sym_transfer_err(Hm, r1, r2):
+    """Symmetric transfer error (normalized coords, squared), [N]."""
+    x1 = r1 / r1[:, 2:3]
+    x2 = r2 / r2[:, 2:3]
+    Hx1 = x1 @ Hm.T
+    Hx1 = Hx1 / jnp.where(jnp.abs(Hx1[:, 2:3]) < 1e-12, 1e-12, Hx1[:, 2:3])
+    Hinv = jnp.linalg.inv(Hm + 1e-12 * jnp.eye(3))
+    Hix2 = x2 @ Hinv.T
+    Hix2 = Hix2 / jnp.where(jnp.abs(Hix2[:, 2:3]) < 1e-12, 1e-12, Hix2[:, 2:3])
+    e12 = jnp.sum((Hx1[:, :2] - x2[:, :2]) ** 2, axis=-1)
+    e21 = jnp.sum((Hix2[:, :2] - x1[:, :2]) ** 2, axis=-1)
+    return 0.5 * (e12 + e21)
+
+
+def _decompose_H(Hm):
+    """Calibrated homography -> 8 candidate T_21 poses (Faugeras SVD method,
+    as in TwoViewReconstruction::ReconstructH).  Translation is left at the
+    decomposition's scale; downstream normalizes the gauge."""
+    U, d, Vt = jnp.linalg.svd(Hm)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = d[0], d[1], d[2]
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-12)
+    aux1 = jnp.sqrt(jnp.maximum(d1 * d1 - d2 * d2, 0.0) / denom)
+    aux3 = jnp.sqrt(jnp.maximum(d2 * d2 - d3 * d3, 0.0) / denom)
+    d2s = jnp.maximum(d2, 1e-12)
+
+    cands = []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            x1, x3 = e1 * aux1, e3 * aux3
+            # case d' = +d2
+            st = (d1 - d3) * x1 * x3 / d2s
+            ct = (d1 * x3 * x3 + d3 * x1 * x1) / d2s
+            Rp = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+            Rp = Rp.at[0, 0].set(ct).at[0, 2].set(-st)
+            Rp = Rp.at[2, 0].set(st).at[2, 2].set(ct)
+            tp = (d1 - d3) * jnp.array([x1, 0.0, -x3])
+            R = s * (U @ Rp @ Vt)
+            t = U @ tp
+            cands.append((R, t))
+            # case d' = -d2
+            sp = (d1 + d3) * x1 * x3 / d2s
+            cp = (d3 * x1 * x1 - d1 * x3 * x3) / d2s
+            Rn = jnp.zeros((3, 3))
+            Rn = Rn.at[0, 0].set(cp).at[0, 2].set(sp)
+            Rn = Rn.at[1, 1].set(-1.0)
+            Rn = Rn.at[2, 0].set(sp).at[2, 2].set(-cp)
+            tn = (d1 + d3) * jnp.array([x1, 0.0, x3])
+            R = s * (U @ Rn @ Vt)
+            t = U @ tn
+            cands.append((R, t))
+
+    out = []
+    for R, t in cands:
+        tn = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+        out.append(lie.se3(lie.quat_from_matrix(R), tn))
+    return jnp.stack(out)  # [8,7]
+
+
 @partial(jax.jit, static_argnames=("n_hyp",))
 def two_view_init(
     key,
@@ -121,6 +206,18 @@ def two_view_init(
     best = jnp.argmax(scores)
     E = _to_essential(Es[best])
 
+    # ---- homography model (4-point subsets of the same draws) ----------
+    # chi2 gate: symmetric transfer error is 2-dof vs Sampson's 1-dof
+    # (reference: 5.99 vs 3.84 at sigma=1px, TwoViewReconstruction.cc
+    # CheckHomography/CheckFundamental).
+    h_thresh = sampson_thresh * (5.991 / 3.841)
+    Hs = jax.vmap(lambda ii: _four_point_h(ray1[ii[:4]], ray2[ii[:4]]))(idx)
+    errs_h = jax.vmap(lambda Hm: _sym_transfer_err(Hm, ray1, ray2))(Hs)
+    inl_h = (errs_h < h_thresh) & valid[None, :]
+    scores_h = jnp.sum(inl_h, axis=-1)
+    best_h = jnp.argmax(scores_h)
+    Hmat = Hs[best_h]
+
     # Weighted-LS refinement on the consensus set (2 IRLS rounds): an
     # 8-point minimal fit is far too noisy to decompose directly — with
     # near-forward motion the recovered translation direction can be tens
@@ -134,24 +231,42 @@ def two_view_init(
 
     E, _ = jax.lax.scan(refine, E, None, length=2)
 
-    cands = _decompose_E(E)  # [4,7]
+    def refine_h(Hm, _):
+        w = ((_sym_transfer_err(Hm, ray1, ray2) < h_thresh) & valid).astype(
+            jnp.float32)
+        return _four_point_h(ray1, ray2, w), None
+
+    Hmat, _ = jax.lax.scan(refine_h, Hmat, None, length=2)
+
+    # ---- model selection (reference: RH = SH/(SH+SF) > 0.40) ------------
+    SH = jnp.sum((_sym_transfer_err(Hmat, ray1, ray2) < h_thresh) & valid)
+    SE = jnp.sum((_sampson_err(E, ray1, ray2) < sampson_thresh) & valid)
+    use_h = SH.astype(jnp.float32) > 0.40 * (SH + SE).astype(jnp.float32)
+
+    cands = jnp.concatenate(
+        [_decompose_E(E), _decompose_H(Hmat)], axis=0)  # [12,7]
+    cand_is_h = jnp.concatenate(
+        [jnp.zeros(4, bool), jnp.ones(8, bool)])
+    cand_active = jnp.where(use_h, cand_is_h, ~cand_is_h)
     T1 = jnp.broadcast_to(lie.se3_identity(), (n, 7))
+
+    # per-match epipolar/transfer inlier gate of the SELECTED model
+    model_inl = jnp.where(
+        use_h,
+        _sym_transfer_err(Hmat, ray1, ray2) < h_thresh,
+        _sampson_err(E, ray1, ray2) < sampson_thresh,
+    )
 
     def score_cand(T21):
         T2 = jnp.broadcast_to(T21, (n, 7))
         X = triangulation.triangulate_dlt(T1, T2, ray1, ray2)
         z1 = X[:, 2]
         z2 = lie.se3_apply(T21, X)[:, 2]
-        err = _sampson_err(E, ray1, ray2)
-        good = (
-            valid
-            & (z1 > 1e-3)
-            & (z2 > 1e-3)
-            & (err < sampson_thresh)
-        )
+        good = valid & (z1 > 1e-3) & (z2 > 1e-3) & model_inl
         return jnp.sum(good), X, good
 
     counts, Xs, goods = jax.vmap(score_cand)(cands)
+    counts = jnp.where(cand_active, counts, -1)
     bi = jnp.argmax(counts)
     T_21 = cands[bi]
     X = Xs[bi]
@@ -210,10 +325,13 @@ def two_view_init(
     n_parallax = jnp.sum(has_parallax.astype(jnp.int32))
 
     n_inl = jnp.sum(good.astype(jnp.int32))
-    # ambiguity: best candidate must dominate (reference requires a clear
-    # winner among the 4 motions)
+    # ambiguity: best candidate must dominate the runner-up of the SAME
+    # model (ReconstructF requires a clear winner among the 4 motions;
+    # ReconstructH uses secondBestGood < 0.75*bestGood over its 8)
     sorted_counts = jnp.sort(counts)
-    distinct = sorted_counts[-1] > 1.7 * sorted_counts[-2]
+    ratio = jnp.where(use_h, 1.0 / 0.75, 1.7)
+    distinct = sorted_counts[-1].astype(jnp.float32) > ratio * jnp.maximum(
+        sorted_counts[-2].astype(jnp.float32), 0.0)
     ok = (n_inl >= min_inliers) & distinct & (n_parallax >= min_inliers // 8)
 
     # normalize scene scale: median depth of inliers -> 1 (the reference

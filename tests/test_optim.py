@@ -134,6 +134,38 @@ class TestTwoView:
         t_true = T_rel[4:] / jnp.linalg.norm(T_rel[4:])
         assert float(jnp.abs(jnp.dot(t_est, t_true))) > 0.999
 
+    def test_init_planar_scene(self):
+        # pure-planar structure: the 8-point essential DLT is rank-degenerate
+        # here; the homography path (4-point DLT + Faugeras decomposition,
+        # TwoViewReconstruction.cc ReconstructH) must rescue initialization.
+        rng = np.random.default_rng(21)
+        n = 220
+        xy = rng.uniform([-3, -2], [3, 2], (n, 2)).astype(np.float32)
+        X = jnp.asarray(np.concatenate(
+            [xy, np.full((n, 1), 6.0, np.float32)], axis=1))
+        T1 = lie.se3_identity()
+        T2 = lie.se3(
+            lie.so3_exp(jnp.asarray([0.02, -0.05, 0.01])),
+            jnp.asarray([0.4, 0.1, 0.05]),
+        )
+        uv1, _ = camera.project_world(K, T1, X)
+        uv2, _ = camera.project_world(K, T2, X)
+        uv1 = uv1 + jnp.asarray(rng.normal(0, 0.2, (n, 2)).astype(np.float32))
+        uv2 = uv2 + jnp.asarray(rng.normal(0, 0.2, (n, 2)).astype(np.float32))
+        res = two_view.two_view_init(
+            jax.random.PRNGKey(4),
+            camera.unproject(K, uv1),
+            camera.unproject(K, uv2),
+            jnp.ones(n, bool),
+            min_inliers=60,
+        )
+        assert bool(res.ok)
+        dq = lie.so3_log(lie.quat_mul(lie.quat_conj(res.T_21[:4]), T2[:4]))
+        assert float(jnp.linalg.norm(dq)) < 0.01
+        t_est = res.T_21[4:] / jnp.linalg.norm(res.T_21[4:])
+        t_true = T2[4:] / jnp.linalg.norm(T2[4:])
+        assert float(jnp.abs(jnp.dot(t_est, t_true))) > 0.995
+
     def test_rejects_pure_rotation(self):
         rng = np.random.default_rng(5)
         X = jnp.asarray(rng.uniform([-3, -2, 4], [3, 2, 10], (150, 3)).astype(np.float32))
