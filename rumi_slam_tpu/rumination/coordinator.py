@@ -34,6 +34,7 @@ from .sampler import BundleAssembler, LostFrameSampler, RecordedFrame
 
 def insert_cloud_map(ms: M.MapState, cm: CM.CloudMap, map_id):
     """Import a CloudMap into the MapState as submap ``map_id``."""
+    cm = CM.reduce_feature_capacity(cm, ms.max_feat)
     desc = cm.kf_desc
     if desc is None:
         desc = jnp.zeros(cm.kf_uv.shape[:2] + (8,), jnp.uint32)

@@ -82,6 +82,10 @@ class SlamSystem:
         from .utils.profiling import StageTimer
 
         self.timer = StageTimer()  # reference REGISTER_TIMES equivalent
+        from .utils import verbose
+
+        verbose.set_level(self.cfg.verbosity)
+        self._log = verbose.print_mess
 
     # ------------------------------------------------------------------
     def _extract(self, img):
@@ -204,6 +208,7 @@ class SlamSystem:
         self.state = TrackState.OK
         self.stats["n_kf"] += 1
         self._init_feats = None
+        self._log(f"[init] depth map created at t={t:.3f}")
         self._log_pose(t, T0)
 
     # ------------------------------------------------------------------
@@ -216,8 +221,14 @@ class SlamSystem:
             return
         f0 = self._init_feats
         mask = matcher.radius_mask(f0.uv, feats.uv, 100.0)
+        # init matching runs LOOSE (TH_HIGH / 0.95): the reference gates at
+        # TH_LOW (ORBmatcher::SearchForInitialization) because its BoW-free
+        # scan has no downstream filter, but here every candidate goes
+        # straight into two-view RANSAC, which is the better outlier gate —
+        # tight thresholds just starve the baseline-accumulation window
+        # (matches decay with viewpoint change faster than parallax grows)
         idx, _ = matcher.match_descriptors(
-            f0, feats, mask=mask, max_dist=matcher.TH_LOW, ratio=0.9
+            f0, feats, mask=mask, max_dist=matcher.TH_HIGH, ratio=0.95
         )
         n_matches = int(jnp.sum(idx >= 0))
         if n_matches < cfg.tracking.init_min_matches:
@@ -278,6 +289,8 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.state = TrackState.OK
         self.stats["n_kf"] += 2
+        self._log(f"[init] monocular map created at t={t:.3f} "
+                  f"({int(jnp.sum(assoc1 >= 0))} seed points)")
         self._init_feats = None
         self._log_pose(t, self.last_pose)
 
@@ -310,6 +323,8 @@ class SlamSystem:
         if int(tr.n_inliers) < cfg.min_track_inliers:
             self.state = TrackState.RECENTLY_LOST
             self.lost_since = t
+            self._log(f"[track] lost at t={t:.3f} "
+                      f"({int(tr.n_inliers)} inliers)")
             return
 
         new_pose = tr.pose
@@ -413,6 +428,7 @@ class SlamSystem:
                 self.last_pose = self.ms.kf_pose[kf_id]
                 self.velocity = lie.se3_identity()
                 self.stats["n_loops"] = self.stats.get("n_loops", 0) + 1
+                self._log(f"[loop] closed {kf_id} -> {int(cand.kf_id[r])}")
                 return
 
     # ------------------------------------------------------------------
@@ -439,6 +455,7 @@ class SlamSystem:
                 self.velocity = lie.se3_identity()
                 self.last_kf_id = kf
                 self.stats["n_reloc"] += 1
+                self._log(f"[reloc] recovered at t={t:.3f} on KF {kf}")
                 self._log_pose(t, tr.pose)
                 return
         if self.lost_since is not None and t - self.lost_since > cfg.reloc_window_s:
@@ -463,6 +480,7 @@ class SlamSystem:
                 active_map=jnp.int32(new_id), n_maps=ms.n_maps + 1
             )
             self.stats["n_new_maps"] += 1
+            self._log(f"[atlas] new submap {new_id} opened at t={t:.3f}")
         else:
             # reset active map: invalidate its KFs and points
             sel_kf = ms.kf_map_id == ms.active_map
