@@ -66,6 +66,10 @@ class MapConfig:
     min_covis_weight: int = 15
     # reference launch/main.launch:33 kf_culling (default false)
     kf_culling: bool = False
+    # run local mapping in a worker thread overlapped with tracking (the
+    # reference's LocalMapping thread); False executes it inline after each
+    # keyframe (deterministic — tests use this)
+    overlapped: bool = True
     # loop closing stays active alongside the rumination merge (reference
     # activeLC from YAML loopClosing, System.cc:99-103)
     loop_closing: bool = True
@@ -154,7 +158,8 @@ def tiny_config(**over) -> Config:
     base = Config(
         camera=CameraConfig(width=320, height=240, fx=260.0, fy=260.0, cx=159.5, cy=119.5),
         orb=ORBConfig(n_features=256, n_levels=3),
-        mapping=MapConfig(max_kf=64, max_pt=4096, local_window=5),
+        mapping=MapConfig(max_kf=64, max_pt=4096, local_window=5,
+                          overlapped=False),
         tracking=TrackConfig(min_track_inliers=12, min_localmap_inliers=20,
                              new_map_min_kf=4, new_map_min_duration_s=0.3),
         sampler=SamplerConfig(n_track_last=10, n_new_track_first=5,

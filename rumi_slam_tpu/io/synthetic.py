@@ -30,7 +30,14 @@ class SyntheticWorld(NamedTuple):
     tex: jnp.ndarray        # [M,2*TEX_R+1,2*TEX_R+1] per-landmark albedo
 
 
-def make_world(n_points=3000, seed=0, box=((-6, -4, 2), (6, 4, 18))):
+def make_world(n_points=3000, seed=0, box=((-5, -3.5, 1.2), (5, 3.5, 8.0))):
+    """Landmark box defaults to a CLOSE-RANGE scene (z 1.2-8), matching the
+    TUM fr1 handheld-desk geometry the reference validates on.  Depth
+    matters: monocular triangulation error scales with depth²/baseline — a
+    deep corridor world (the old z<=18 default) puts median parallax near 1°
+    under this trajectory and depth scatter at ±40%, which no amount of BA
+    can fix; the close world yields 4-10° and single-digit-percent depths.
+    """
     rng = np.random.default_rng(seed)
     lo, hi = np.asarray(box[0]), np.asarray(box[1])
     xyz = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float32)
@@ -105,6 +112,33 @@ def render_depth(world: SyntheticWorld, K, T_cw, *, width=640, height=480,
     return jnp.where(jnp.isfinite(dmap), dmap, 0.0)
 
 
+def sweep_trajectory(n_frames, *, seed=1, amp=(1.6, 0.35, 0.5),
+                     yaw_amp=0.22):
+    """Handheld SWEEP: the camera oscillates over one region instead of
+    advancing — the TUM fr1_floor motion class (pan back and forth over the
+    same floor).  This is the trajectory for loss-recovery scenarios: after
+    a lost span the camera still faces already-mapped structure, which is
+    what makes relocalization / rumination merging geometrically possible
+    (an ever-advancing camera leaves its own map behind).
+    Returns (poses list of [7] T_cw, times @30fps)."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_frames):
+        t = i / 30.0
+        pos = np.asarray([
+            amp[0] * np.sin(2 * np.pi * 0.06 * t),
+            amp[1] * np.sin(2 * np.pi * 0.11 * t + 1.0),
+            amp[2] * np.sin(2 * np.pi * 0.035 * t),
+        ], np.float32) + rng.normal(scale=0.002, size=3).astype(np.float32)
+        yaw = yaw_amp * np.sin(2 * np.pi * 0.05 * t)
+        pitch = 0.4 * yaw_amp * np.sin(2 * np.pi * 0.08 * t + 0.7)
+        q = lie.so3_exp(jnp.asarray([pitch, yaw, 0.0], np.float32))
+        T_wc = lie.se3(q, jnp.asarray(pos))
+        poses.append(lie.se3_inverse(T_wc))
+    times = np.arange(n_frames, dtype=np.float64) / 30.0
+    return poses, times
+
+
 def smooth_trajectory(n_frames, *, seed=1, speed=0.06, yaw_rate=0.004,
                       sway=0.10, lost_span=None):
     """World->camera poses for a handheld-style forward-moving camera.
@@ -149,7 +183,8 @@ class SyntheticSequence:
     """Iterable frame source mirroring the reference's dataset replay."""
 
     def __init__(self, n_frames=120, *, width=640, height=480, K=None,
-                 n_points=3000, seed=0, lost_span=None, patch=4):
+                 n_points=3000, seed=0, lost_span=None, patch=4,
+                 trajectory="advance"):
         self.world = make_world(n_points, seed=seed)
         self.K = (
             K
@@ -163,7 +198,10 @@ class SyntheticSequence:
         # frames must remain *reconstructable context* for the rumination
         # backend, which is the whole premise of the paper.
         self.lost_span = lost_span
-        self.poses_gt, self.times = smooth_trajectory(n_frames, seed=seed + 1)
+        if trajectory == "sweep":
+            self.poses_gt, self.times = sweep_trajectory(n_frames, seed=seed + 1)
+        else:
+            self.poses_gt, self.times = smooth_trajectory(n_frames, seed=seed + 1)
 
     def __len__(self):
         return len(self.poses_gt)

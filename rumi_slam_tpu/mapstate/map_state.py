@@ -55,6 +55,12 @@ class MapState(NamedTuple):
     pt_ref_kf: jnp.ndarray     # [P] int32
     pt_visible: jnp.ndarray    # [P] float32 — frames where in frustum
     pt_found: jnp.ndarray      # [P] float32 — frames where matched
+    pt_octave: jnp.ndarray     # [P] int32 — pyramid level of the latest
+                               #   observation (per-octave search radius,
+                               #   reference SearchByProjection:39)
+    pt_angle: jnp.ndarray      # [P] float32 — keypoint angle of the latest
+                               #   observation (rotation-consistency check,
+                               #   reference ComputeThreeMaxima)
     # --- counters ---
     n_kf: jnp.ndarray          # scalar int32 next free KF slot
     n_pt: jnp.ndarray          # scalar int32 next free point slot
@@ -96,6 +102,8 @@ def empty(max_kf: int = 256, max_feat: int = 512, max_pt: int = 16384) -> MapSta
         pt_ref_kf=jnp.full((P,), -1, jnp.int32),
         pt_visible=jnp.zeros((P,), jnp.float32),
         pt_found=jnp.zeros((P,), jnp.float32),
+        pt_octave=jnp.zeros((P,), jnp.int32),
+        pt_angle=jnp.zeros((P,), jnp.float32),
         n_kf=jnp.int32(0),
         n_pt=jnp.int32(0),
         active_map=jnp.int32(0),
@@ -192,7 +200,8 @@ def add_keyframes_bulk(
     return ms, jnp.where(usable, slot_c, -1)
 
 
-def add_points(ms: MapState, xyz, desc, valid, ref_kf, *, map_id=None):
+def add_points(ms: MapState, xyz, desc, valid, ref_kf, *, map_id=None,
+               octave=None, angle=None):
     """Append up to M points (rows with valid=False are skipped by compaction
     on the caller side — here they occupy slots but stay invalid=False... no:
     slots are allocated ONLY for valid rows, using a prefix-sum compaction).
@@ -230,6 +239,10 @@ def add_points(ms: MapState, xyz, desc, valid, ref_kf, *, map_id=None):
         pt_ref_kf=jnp.where(wmask, jnp.int32(ref_kf), ms.pt_ref_kf),
         pt_visible=jnp.where(wmask, 1.0, ms.pt_visible),
         pt_found=jnp.where(wmask, 1.0, ms.pt_found),
+        pt_octave=(ms.pt_octave if octave is None
+                   else scatter(ms.pt_octave, octave.astype(jnp.int32))),
+        pt_angle=(ms.pt_angle if angle is None
+                  else scatter(ms.pt_angle, angle.astype(jnp.float32))),
         n_pt=jnp.minimum(ms.n_pt + jnp.sum(valid.astype(jnp.int32)), P),
     )
     ids = jnp.where(usable, slot_c, -1)
@@ -253,7 +266,13 @@ def refresh_point_descriptors(ms: MapState, kf_id):
     upd = ms.pt_desc.at[tgt].set(
         jnp.where(ok[:, None], ms.kf_desc[kf_id], ms.pt_desc[tgt])
     )
-    return ms._replace(pt_desc=upd)
+    oct_upd = ms.pt_octave.at[tgt].set(
+        jnp.where(ok, ms.kf_octave[kf_id], ms.pt_octave[tgt])
+    )
+    ang_upd = ms.pt_angle.at[tgt].set(
+        jnp.where(ok, ms.kf_angle[kf_id], ms.pt_angle[tgt])
+    )
+    return ms._replace(pt_desc=upd, pt_octave=oct_upd, pt_angle=ang_upd)
 
 
 def incidence(ms: MapState, map_id=None):
@@ -304,6 +323,82 @@ def relabel_map(ms: MapState, old_id, new_id):
         kf_map_id=jnp.where(ms.kf_map_id == old_id, new_id, ms.kf_map_id),
         pt_map_id=jnp.where(ms.pt_map_id == old_id, new_id, ms.pt_map_id),
     )
+
+
+def compact(ms: MapState):
+    """Reclaim dead slots: renumber valid KFs/points down to a contiguous
+    prefix, remapping every cross-reference (kf_point values, pt_ref_kf).
+
+    The reference frees memory by deleting heap objects
+    (KeyFrame::SetBadFlag + erase, KeyFrame.cc); with fixed-capacity SoA
+    arrays the equivalent is periodic compaction, so ``max_kf``/``max_pt``
+    bound the LIVE map instead of the run length.  Host-level (numpy) — runs
+    rarely, at capacity pressure, never inside jit.
+
+    Returns (ms, kf_old2new [K] int32 with -1, pt_old2new [P] int32).
+    """
+    import numpy as np
+
+    K, F, P = ms.max_kf, ms.max_feat, ms.max_pt
+    kf_v = np.asarray(ms.kf_valid)
+    pt_v = np.asarray(ms.pt_valid)
+    kf_rows = np.flatnonzero(kf_v)
+    pt_rows = np.flatnonzero(pt_v)
+    nk, npt = len(kf_rows), len(pt_rows)
+    kf_map = np.full(K, -1, np.int32)
+    kf_map[kf_rows] = np.arange(nk, dtype=np.int32)
+    pt_map = np.full(P, -1, np.int32)
+    pt_map[pt_rows] = np.arange(npt, dtype=np.int32)
+
+    out = empty(K, F, P)
+
+    def pack_kf(new, old):
+        a = np.asarray(new).copy()
+        a[:nk] = np.asarray(old)[kf_rows]
+        return jnp.asarray(a)
+
+    def pack_pt(new, old):
+        a = np.asarray(new).copy()
+        a[:npt] = np.asarray(old)[pt_rows]
+        return jnp.asarray(a)
+
+    kp = np.asarray(ms.kf_point)[kf_rows]          # [nk, F] old point ids
+    kp = np.where(kp >= 0, pt_map[np.clip(kp, 0, None)], -1)
+    kf_point = np.full((K, F), -1, np.int32)
+    kf_point[:nk] = kp
+    ref = np.asarray(ms.pt_ref_kf)[pt_rows]
+    ref = np.where(ref >= 0, kf_map[np.clip(ref, 0, None)], -1)
+    pt_ref = np.full(P, -1, np.int32)
+    pt_ref[:npt] = ref
+
+    ms2 = out._replace(
+        kf_pose=pack_kf(out.kf_pose, ms.kf_pose),
+        kf_uv=pack_kf(out.kf_uv, ms.kf_uv),
+        kf_octave=pack_kf(out.kf_octave, ms.kf_octave),
+        kf_angle=pack_kf(out.kf_angle, ms.kf_angle),
+        kf_desc=pack_kf(out.kf_desc, ms.kf_desc),
+        kf_ur=pack_kf(out.kf_ur, ms.kf_ur),
+        kf_feat_valid=pack_kf(out.kf_feat_valid, ms.kf_feat_valid),
+        kf_point=jnp.asarray(kf_point),
+        kf_time=pack_kf(out.kf_time, ms.kf_time),
+        kf_map_id=pack_kf(out.kf_map_id, ms.kf_map_id),
+        kf_valid=pack_kf(out.kf_valid, ms.kf_valid),
+        kf_is_cloud=pack_kf(out.kf_is_cloud, ms.kf_is_cloud),
+        pt_xyz=pack_pt(out.pt_xyz, ms.pt_xyz),
+        pt_desc=pack_pt(out.pt_desc, ms.pt_desc),
+        pt_valid=pack_pt(out.pt_valid, ms.pt_valid),
+        pt_map_id=pack_pt(out.pt_map_id, ms.pt_map_id),
+        pt_ref_kf=jnp.asarray(pt_ref),
+        pt_visible=pack_pt(out.pt_visible, ms.pt_visible),
+        pt_found=pack_pt(out.pt_found, ms.pt_found),
+        pt_octave=pack_pt(out.pt_octave, ms.pt_octave),
+        pt_angle=pack_pt(out.pt_angle, ms.pt_angle),
+        n_kf=jnp.int32(nk),
+        n_pt=jnp.int32(npt),
+        active_map=ms.active_map,
+        n_maps=ms.n_maps,
+    )
+    return ms2, kf_map, pt_map
 
 
 def map_kf_count(ms: MapState, map_id):

@@ -60,7 +60,8 @@ def pnp_ransac(
     uv,
     valid,
     *,
-    n_hyp: int = 128,
+    quality=None,
+    n_hyp: int = 1024,
     reproj_thresh: float = 5.0,
     min_inliers: int = 15,
 ):
@@ -68,11 +69,26 @@ def pnp_ransac(
 
     The winning DLT hypothesis may have the wrong cheirality sign; both signs
     of t-scale are scored via positive-depth counting inside the DLT already.
+
+    ``quality``: optional [N] sampling weight (larger = more trustworthy,
+    e.g. ``max_hamming - match_distance``).  Relocalization inputs routinely
+    run at 15-30% inlier fraction — a uniformly drawn 6-point DLT sample is
+    then almost never clean (0.2^6), but correct matches concentrate at low
+    descriptor distance, so guided sampling recovers tractable odds (the
+    PROSAC idea; the reference's MLPnPsolver instead leans on per-candidate
+    adaptive iteration counts, MLPnPsolver.cpp RANSAC loop).  ``n_hyp``
+    defaults high (1024): per-hypothesis success runs far below the naive
+    inlier-rate^6 because 6-point DLT poses from noisy-depth maps are sloppy
+    even when every sample row is a true match; the whole batch is one vmap,
+    so hypotheses are nearly free on the MXU.
     """
     n = X_w.shape[0]
     rays = camera.unproject(K, uv)
 
-    probs = jnp.log(jnp.maximum(valid.astype(jnp.float32), 1e-12))
+    w = valid.astype(jnp.float32)
+    if quality is not None:
+        w = w * jnp.maximum(quality, 1e-3)
+    probs = jnp.log(jnp.maximum(w, 1e-12))
     idx = jax.random.categorical(key, probs[None, :].repeat(n_hyp * 6, 0)).reshape(
         n_hyp, 6
     )
@@ -88,6 +104,12 @@ def pnp_ransac(
     best = jnp.argmax(scores)
     pose0 = poses[best]
 
-    res = pose_opt.pose_optimization(K, pose0, X_w, uv, valid)
+    # polish ONLY on the winner's consensus set: at high outlier fractions
+    # the IRLS refinement cannot be seeded with every match — the Huber
+    # basin is narrower than the contamination
+    pc0 = lie.se3_apply(pose0, X_w)
+    err0 = jnp.linalg.norm(camera.project(K, pc0) - uv, axis=-1)
+    consensus = valid & (err0 < reproj_thresh) & (pc0[:, 2] > 0.01)
+    res = pose_opt.pose_optimization(K, pose0, X_w, uv, consensus)
     ok = res.n_inliers >= min_inliers
     return PnPResult(pose=res.pose, inliers=res.inliers, n_inliers=res.n_inliers, ok=ok)

@@ -194,6 +194,10 @@ class RuminationCoordinator:
 
     def _finish_rumination(self, info: dict, cm) -> dict:
         slam = self.slam
+        # single-writer contract: finish any overlapped mapping round before
+        # the merge rewrites poses/points (tracking/mapping_worker.py)
+        if hasattr(slam, "sync_mapping"):
+            slam.sync_mapping()
         ms = slam.ms
         front, back = info["front"], info["back"]
 

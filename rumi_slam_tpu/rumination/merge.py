@@ -229,25 +229,43 @@ def fuse_points(ms: M.MapState, pairs: PointPairs, inliers):
     return ms._replace(kf_point=kp, pt_valid=pt_valid)
 
 
-def _welding_window(matches: KFMatches, w: int):
-    """Static-size welding window: alternate dst/src matched KFs."""
+def _welding_window(matches: KFMatches, w: int, ms: M.MapState = None,
+                    covis: int = 0):
+    """Static-size welding window: alternate dst/src matched KFs, then (when
+    ``covis`` > 0 and ``ms`` given) the strongest covisible neighbors of the
+    matched set — the reference expands its welding window the same way with
+    5 best covisibles per matched KF (CloudMerging.cc:1408-1422), so the BA
+    seam includes the keyframes whose points the merge just rewired."""
     ids = jnp.stack([matches.dst_kf, matches.src_kf], axis=1).reshape(-1)
     valid = jnp.stack([matches.valid, matches.valid], axis=1).reshape(-1)
     key = jnp.where(valid, jnp.arange(ids.shape[0]), 1 << 30)
     _, order = jax.lax.top_k(-key, w)
-    return ids[order], valid[order]
+    ids, valid = ids[order], valid[order]
+    if covis > 0 and ms is not None:
+        Wgt = M.covisibility(ms)
+        in_window = jnp.zeros((ms.max_kf,), bool).at[
+            jnp.clip(ids, 0)].max(valid)
+        # accumulate covisibility weight toward the matched window
+        wsum = jnp.sum(
+            Wgt * in_window[:, None], axis=0
+        ) * ms.kf_valid * ~in_window
+        vals, nb = jax.lax.top_k(wsum, covis)
+        ids = jnp.concatenate([ids, nb])
+        valid = jnp.concatenate([valid, vals >= M.MIN_COVIS_WEIGHT])
+    return ids, valid
 
 
-@partial(jax.jit, static_argnames=("window", "n_iters"))
+@partial(jax.jit, static_argnames=("window", "n_iters", "covis"))
 def welding_ba(ms: M.MapState, K, matches: KFMatches, *, window: int = 16,
-               n_iters: int = 5):
+               n_iters: int = 5, covis: int = 0):
     """Welding bundle adjustment over the seam (reference welding LBA,
     Optimizer.cc:3768 called from CloudMergeMap:1677): adjust the matched
-    dst+src KFs, hold the two oldest as anchors, free all their points."""
-    ids, valid_w = _welding_window(matches, window)
+    dst+src KFs plus ``covis`` covisible expanders, hold the two oldest as
+    anchors, free all their points."""
+    ids, valid_w = _welding_window(matches, window, ms, covis)
     ids = jnp.clip(ids, 0)
     F = ms.max_feat
-    W = window
+    W = window + covis
 
     poses_w = ms.kf_pose[ids]
     cam_idx = jnp.repeat(jnp.arange(W), F)
@@ -308,7 +326,7 @@ def merge_submaps(ms: M.MapState, K, src_id, dst_id, cfg: MergeConfig, key):
     ms = transform_submap(ms, src_id, S)
     ms = fuse_points(ms, pairs, inliers)
     ms = M.relabel_map(ms, src_id, dst_id)
-    ms = welding_ba(ms, K, matches)
+    ms = welding_ba(ms, K, matches, covis=cfg.welding_covis)
     return ms, True, {
         "n_kf_matches": n_matched,
         "n_pt_pairs": n_pairs,

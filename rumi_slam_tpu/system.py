@@ -86,6 +86,13 @@ class SlamSystem:
 
         verbose.set_level(self.cfg.verbosity)
         self._log = verbose.print_mess
+        # overlapped local mapping (reference LocalMapping thread; see
+        # tracking/mapping_worker.py for the snapshot/merge contract)
+        self.mapper = None
+        if self.cfg.mapping.overlapped:
+            from .tracking.mapping_worker import MappingWorker
+
+            self.mapper = MappingWorker(self.cfg, self.K)
 
     # ------------------------------------------------------------------
     def _extract(self, img):
@@ -163,6 +170,7 @@ class SlamSystem:
         return self._track_common(feats, t, img_l, ur=ur, z=z)
 
     def _track_common(self, feats, t, img, ur=None, z=None):
+        self._adopt_mapping()
         self._cur_ur, self._cur_z = ur, z
         if self.image_recorder is not None:
             self.image_recorder(img, t, self.state)
@@ -196,7 +204,8 @@ class SlamSystem:
 
         T0 = lie.se3_identity()
         xyz_w = cam.unproject(self.K, feats.uv, depth=jnp.maximum(z, 1e-6))
-        ms, ids = M.add_points(ms, xyz_w, feats.desc, ok, ms.n_kf)
+        ms, ids = M.add_points(ms, xyz_w, feats.desc, ok, ms.n_kf,
+                               octave=feats.octave, angle=feats.angle)
         assoc = jnp.where(ids >= 0, ids, -1)
         ms, kf0 = M.insert_keyframe(ms, T0, feats, t, assoc, ur=self._cur_ur)
         self.ms = ms
@@ -257,7 +266,8 @@ class SlamSystem:
         ms = self.ms
         F = ms.max_feat
         # allocate points for inliers (indexed by f0 feature row)
-        ms, ids = M.add_points(ms, res.points, f0.desc, res.inliers, ms.n_kf)
+        ms, ids = M.add_points(ms, res.points, f0.desc, res.inliers,
+                               ms.n_kf, octave=f0.octave, angle=f0.angle)
         assoc0 = jnp.where(ids >= 0, ids, -1)
         # f1 associations: scatter by match index
         assoc1 = jnp.full((F,), -1, jnp.int32).at[
@@ -265,7 +275,11 @@ class SlamSystem:
         ].max(jnp.where((idx >= 0) & (ids >= 0), ids, -1))
 
         T0 = lie.se3_identity()
-        ms, kf0 = M.insert_keyframe(ms, T0, f0, self._init_time or t, assoc0)
+        # NOT ``self._init_time or t``: frame 0's timestamp 0.0 is falsy and
+        # would stamp both init KFs with the same time, breaking the
+        # timestamp-keyed merge association
+        t0 = t if self._init_time is None else self._init_time
+        ms, kf0 = M.insert_keyframe(ms, T0, f0, t0, assoc0)
         ms, kf1 = M.insert_keyframe(ms, res.T_21, f1, t, assoc1)
 
         # full BA on the baby map, first KF fixed (gauge); scale was already
@@ -348,6 +362,9 @@ class SlamSystem:
         cfg = self.cfg.tracking
         if self.frames_since_kf < cfg.kf_min_interval:
             return False
+        if self.mapper is not None and not self.mapper.idle():
+            # reference Tracking::NeedNewKeyFrame requires LocalMapping idle
+            return False
         weak = int(tr.n_inliers) < cfg.kf_tracked_ratio * max(self.last_kf_obs, 1)
         stale = self.frames_since_kf >= 15
         return weak or stale
@@ -363,78 +380,145 @@ class SlamSystem:
     def _create_keyframe_inner(self, feats, pose, t, assoc):
         ms = self.ms
         if int(ms.n_kf) >= ms.max_kf:
-            return
+            # capacity pressure is VISIBLE and survivable: evict the most
+            # redundant old keyframes, compact, and carry on — max_kf bounds
+            # the live window, not the run length
+            self.stats["kf_full"] = self.stats.get("kf_full", 0) + 1
+            self.sync_mapping()
+            self.ms = local_mapping.evict_for_capacity(
+                self.ms, self.last_kf_id
+            )
+            self.ms = local_mapping.cull_points(self.ms)
+            self._maybe_compact()
+            ms = self.ms
+            if int(ms.n_kf) >= ms.max_kf:
+                self._log(f"[map] KF capacity {ms.max_kf} full; "
+                          "keyframe dropped")
+                return
+            self._log(f"[map] capacity eviction freed "
+                      f"{ms.max_kf - int(ms.n_kf)} KF slots")
         ms, kid = M.insert_keyframe(ms, pose, feats, t, assoc, ur=self._cur_ur)
         # stereo/RGB-D: spawn points directly from depth for unmatched
-        # features (reference Tracking::CreateNewKeyFrame stereo branch)
+        # features (reference Tracking::CreateNewKeyFrame stereo branch).
+        # Allocation here is safe: keyframes are only created while the
+        # mapping worker is idle, so the tracker and worker never race for
+        # point slots.
         if self._cur_z is not None:
             xyz_w, make = stereo.backproject_new_points(
                 self.K, pose, feats.uv, self._cur_z, assoc >= 0, feats.valid,
                 max_new=self.cfg.tracking.max_new_depth_points,
                 th_depth=self.cfg.camera.th_depth,
             )
-            ms, ids = M.add_points(ms, xyz_w, feats.desc, make, kid)
+            ms, ids = M.add_points(ms, xyz_w, feats.desc, make, kid,
+                                   octave=feats.octave, angle=feats.angle)
             new_assoc = jnp.where(ids >= 0, ids, ms.kf_point[kid])
             ms = M.set_associations(ms, kid, new_assoc)
-        # triangulate vs the best covisible neighbors (reference
-        # CreateNewMapPoints uses 10-20; two suffice at our feature budget)
-        ids, valid_w = M.local_window(ms, kid, window=3)
-        for j in range(1, 3):
-            if bool(valid_w[j]) and int(ids[j]) != int(kid):
-                ms, n_new = local_mapping.triangulate_with_neighbor(
-                    ms, self.K, kid, ids[j]
-                )
-        ms = local_mapping.local_bundle_adjustment(
-            ms, self.K, kid,
-            window=self.cfg.mapping.local_window,
-            n_iters=self.cfg.mapping.local_ba_iters,
-            use_stereo=self._cur_z is not None,
-            bf=self.cfg.camera.bf,
-        )
-        ms = local_mapping.cull_points(ms)
-        ms = M.refresh_point_descriptors(ms, kid)
-        if self.cfg.mapping.kf_culling and self.stats["n_kf"] % 4 == 0:
-            ms = local_mapping.cull_keyframes(ms, kid)
         self.ms = ms
-        self.last_kf_id = int(kid)
+        kid_i = int(kid)
+        self.last_kf_id = kid_i
         self.last_kf_obs = int(jnp.sum(ms.kf_point[kid] >= 0))
         self.last_pose = ms.kf_pose[kid]
         self.frames_since_kf = 0
         self.stats["n_kf"] += 1
-        mc = self.cfg.mapping
-        if mc.loop_closing and self.stats["n_kf"] % mc.loop_check_interval == 0:
-            with self.timer.stage("loop_closing"):
-                self._check_loop(int(kid))
 
-    def _check_loop(self, kf_id: int):
-        """Per-KF loop detection/verification/correction (the reference's
-        LoopClosing thread consuming LocalMapping's queue, LoopClosing.cc:87;
-        its spontaneous merge is superseded by the rumination merge but loop
-        correction within a map stays active, SURVEY.md §2.1)."""
-        from .tracking import loop_closing as LC
+        from .tracking import mapping_worker as MW
 
-        mc = self.cfg.mapping
-        cand = LC.detect_loop_candidates(self.ms, kf_id)
-        for r in range(int(cand.kf_id.shape[0])):
-            if int(cand.score[r]) < mc.loop_min_score:
-                break
-            S, n_inl, _ = LC.verify_loop(
-                self._next_key(), self.K, self.ms, kf_id, int(cand.kf_id[r])
-            )
-            if int(n_inl) >= mc.loop_min_inliers:
-                self.ms = LC.close_loop(
-                    self.ms, self.K, kf_id, int(cand.kf_id[r]), S
-                )
-                self.last_pose = self.ms.kf_pose[kf_id]
-                self.velocity = lie.se3_identity()
-                self.stats["n_loops"] = self.stats.get("n_loops", 0) + 1
-                self._log(f"[loop] closed {kf_id} -> {int(cand.kf_id[r])}")
-                return
+        use_stereo = self._cur_z is not None
+        if self.mapper is not None and self.mapper.submit(
+            self.ms, kid_i, use_stereo=use_stereo, key=self._next_key(),
+            kf_count=self.stats["n_kf"],
+        ):
+            return  # mapping overlaps; result adopted at a frame boundary
+        # synchronous path (overlapped=False, or worker saturated)
+        out = MW.run_mapping_round(
+            self.ms, self.K, self.cfg, kid_i, use_stereo=use_stereo,
+            key=self._next_key(), kf_count=self.stats["n_kf"],
+        )
+        self._apply_mapping(out)
+        self.last_pose = self.ms.kf_pose[kid_i]
+        self.last_kf_obs = int(jnp.sum(self.ms.kf_point[kid_i] >= 0))
+
+    # ------------------------------------------------------------------
+    def _apply_mapping(self, out):
+        from .tracking.mapping_worker import merge_mapping_result
+
+        self.ms = merge_mapping_result(self.ms, out.snap, out.mapped)
+        ev = out.events
+        self.stats["n_new_pts"] = self.stats.get("n_new_pts", 0) + ev["n_new"]
+        self.stats["n_fused"] = self.stats.get("n_fused", 0) + ev["n_fused"]
+        if ev["loop"]:
+            self.stats["n_loops"] = self.stats.get("n_loops", 0) + 1
+            # poses moved under us: drop the motion-model extrapolation
+            self.velocity = lie.se3_identity()
+            self._log("[loop] closed during mapping round")
+
+    def _adopt_mapping(self):
+        """Adopt a finished mapping round at the frame boundary (the
+        reference tracker re-reads the map under mMutexMapUpdate each frame,
+        Tracking.cc:1624)."""
+        if self.mapper is None:
+            return
+        out = self.mapper.poll()
+        if out is not None:
+            with self.timer.stage("adopt_mapping"):
+                self._apply_mapping(out)
+        self._maybe_compact()
+
+    def sync_mapping(self):
+        """Flush + adopt in-flight mapping work.  Host-side structural
+        operations (rumination merge, map reset, checkpoint save/load) call
+        this so exactly one writer ever touches the MapState."""
+        if self.mapper is None:
+            return
+        out = self.mapper.flush()
+        if out is not None:
+            self._apply_mapping(out)
+
+    def _maybe_compact(self):
+        """Slot reclamation (VERDICT r2 missing #5): when capacity nears and
+        culling has freed slots, compact them away so max_kf/max_pt bound the
+        LIVE map, not the run length (reference KeyFrame::SetBadFlag simply
+        erases heap objects)."""
+        ms = self.ms
+        near_kf = int(ms.n_kf) >= ms.max_kf - 4
+        near_pt = int(ms.n_pt) >= int(0.95 * ms.max_pt)
+        if not (near_kf or near_pt):
+            return
+        dead_kf = int(ms.n_kf) - int(jnp.sum(ms.kf_valid))
+        dead_pt = int(ms.n_pt) - int(jnp.sum(ms.pt_valid))
+        if dead_kf < 4 and dead_pt < 64:
+            return
+        if self.mapper is not None and not self.mapper.idle():
+            return  # worker snapshots would go stale under renumbering
+        ms2, kf_map, _ = M.compact(ms)
+        self.ms = ms2
+        if self.last_kf_id >= 0 and int(kf_map[self.last_kf_id]) >= 0:
+            self.last_kf_id = int(kf_map[self.last_kf_id])
+        else:
+            self.last_kf_id = int(ms2.n_kf) - 1
+        self.stats["n_compactions"] = self.stats.get("n_compactions", 0) + 1
+        self._log(f"[map] compacted: {dead_kf} KF / {dead_pt} point slots "
+                  "reclaimed")
 
     # ------------------------------------------------------------------
     def _track_recently_lost(self, feats, t):
         cfg = self.cfg.tracking
         self.stats["n_lost_frames"] += 1
+        # map-level prior-free PnP first: one MXU Hamming matmul against the
+        # whole submap's points beats per-candidate-KF scans (tracker.
+        # relocalize_map; the reference's per-KF SearchByBoW loop remains the
+        # fallback below)
+        tr, ref_kf = tracker.relocalize_map(self._next_key(), self.ms,
+                                            self.K, feats)
+        if int(tr.n_inliers) >= cfg.min_track_inliers:
+            self.state = TrackState.OK
+            self.last_pose = tr.pose
+            self.velocity = lie.se3_identity()
+            self.last_kf_id = int(ref_kf)
+            self.stats["n_reloc"] += 1
+            self._log(f"[reloc] map-level recovery at t={t:.3f}")
+            self._log_pose(t, tr.pose)
+            return
         # relocalization attempt (reference Relocalization, Tracking.cc:3212)
         cand_ids, scores = tracker.relocalization_candidates(self.ms, feats)
         for rank in range(int(cand_ids.shape[0])):
@@ -464,6 +548,7 @@ class SlamSystem:
     def _handle_lost(self, feats, t):
         """On LOST: either start a new submap (edge-back) or reset the active
         map, per the reference's quality gates (Tracking.cc:1924-1941)."""
+        self.sync_mapping()
         cfg = self.cfg.tracking
         ms = self.ms
         n_kf = int(M.map_kf_count(ms, ms.active_map))
@@ -506,6 +591,7 @@ class SlamSystem:
         Returns the checkpoint path."""
         from .mapstate import checkpoint
 
+        self.sync_mapping()
         checkpoint.save(self.ms, path)
         return str(path)
 
@@ -514,6 +600,7 @@ class SlamSystem:
         tracker resumes in RECENTLY_LOST and relocalizes against it."""
         from .mapstate import checkpoint
 
+        self.sync_mapping()
         self.ms = checkpoint.load(path)
         self.state = TrackState.RECENTLY_LOST
         self.lost_since = None

@@ -67,7 +67,8 @@ def detect_loop_candidates(ms: M.MapState, kf_id, *, top_k: int = 3,
 
 @partial(jax.jit, static_argnames=("n_hyp",))
 def verify_loop(key, K, ms: M.MapState, kf_query, kf_cand, *,
-                n_hyp: int = 64, thresh_px: float = 6.0):
+                n_hyp: int = 64, thresh_px: float = 6.0,
+                max_hamming=matcher.TH_LOW, nn_ratio=0.85):
     """Descriptor-matched Sim3 verification between two KFs.
 
     Returns (S [8] sim3 mapping cand-side world onto query-side world — for
@@ -84,8 +85,8 @@ def verify_loop(key, K, ms: M.MapState, kf_query, kf_cand, *,
     has_c = (pt_c >= 0) & ms.kf_feat_valid[kf_cand]
 
     dist = matcher.hamming_matrix(d_q, d_c)
-    idx, _ = matcher.match(dist, has_q, has_c, max_dist=matcher.TH_LOW,
-                           ratio=0.85)
+    idx, _ = matcher.match(dist, has_q, has_c, max_dist=max_hamming,
+                           ratio=nn_ratio)
     matched = idx >= 0
     Xq = ms.pt_xyz[jnp.clip(pt_q, 0)]                      # [F,3]
     Xc = ms.pt_xyz[jnp.clip(pt_c[jnp.clip(idx, 0)], 0)]    # [F,3]

@@ -88,7 +88,37 @@ def track_frame(
             ratio=nn_ratio,
         )
 
+    # per-octave search radius (reference SearchByProjection:39 scales the
+    # window by the candidate's pyramid level) and rotation consistency
+    # (ComputeThreeMaxima, ORBmatcher.cc:1790): both run as ADAPTIVE
+    # POST-filters on the matched set — the same code serves the Pallas and
+    # plain paths at zero extra matmuls, and each filter only engages when
+    # the matches carry enough redundancy/signal for pruning to be safe
+    # (the reference can afford unconditional gates because its real-image
+    # keypoint angles/scales are far less noisy than a synthetic bench's).
     matched = idx >= 0
+    n_matched = jnp.sum(matched.astype(jnp.int32))
+    pt_oct = ms.pt_octave[jnp.clip(idx, 0)]
+    r_pt = jnp.minimum(
+        radius, 0.5 * radius * jnp.power(1.2, pt_oct.astype(jnp.float32))
+    )
+    duv = jnp.linalg.norm(feats.uv - uv_proj[jnp.clip(idx, 0)], axis=-1)
+    oct_keep = duv <= r_pt
+    # engage only when matches are plentiful (pruning cannot starve the BA)
+    matched &= oct_keep | (n_matched < 100)
+
+    dang = feats.angle - ms.pt_angle[jnp.clip(idx, 0)]
+    bins = jnp.mod(jnp.round(dang * (30.0 / (2.0 * jnp.pi))).astype(jnp.int32),
+                   30)
+    hist = jnp.zeros((30,), jnp.int32).at[bins].add(matched.astype(jnp.int32))
+    top3_counts = jax.lax.top_k(hist, 3)[0]
+    dominant = hist >= jnp.maximum(top3_counts[-1], 1)
+    # engage only when rotation is a real signal: the 3 dominant bins must
+    # hold a majority of the matches (concentrated histogram)
+    concentrated = jnp.sum(top3_counts) * 2 >= jnp.sum(hist)
+    matched &= dominant[bins] | ~concentrated
+
+    idx = jnp.where(matched, idx, -1)
     X = ms.pt_xyz[jnp.clip(idx, 0)]
     # 3x6 LM schedule: the 4x10 of the reference (Optimizer.cc:723) is built
     # for cold starts; with a motion-model prediction 18 iterations converge
@@ -160,14 +190,18 @@ def relocalize_pnp(key, ms: M.MapState, K, feats, kf_id):
     has_pt = kf_assoc >= 0
 
     dist = matcher.hamming_matrix(feats.desc, kf_desc)
-    idx, _ = matcher.match(
+    # looser gate than in-track matching (80 / 0.9): relocalization views sit
+    # across a loss gap, descriptor distances run hotter, and the PnP RANSAC
+    # below is the actual outlier filter
+    idx, mdist = matcher.match(
         dist, feats.valid, ms.kf_feat_valid[kf_id] & has_pt,
-        max_dist=matcher.TH_LOW, ratio=0.85,
+        max_dist=80.0, ratio=0.9,
     )
     pt = jnp.where(idx >= 0, kf_assoc[jnp.clip(idx, 0)], -1)
     matched = pt >= 0
     X = ms.pt_xyz[jnp.clip(pt, 0)]
-    res = pnp.pnp_ransac(key, K, X, feats.uv, matched)
+    res = pnp.pnp_ransac(key, K, X, feats.uv, matched,
+                         quality=80.0 - mdist)
     assoc = jnp.where(matched & res.inliers, pt, -1)
     return TrackResult(
         pose=res.pose,
@@ -175,6 +209,62 @@ def relocalize_pnp(key, ms: M.MapState, K, feats, kf_id):
         n_inliers=res.n_inliers,
         n_candidates=jnp.sum(matched.astype(jnp.int32)),
     )
+
+
+@jax.jit
+def relocalize_map(key, ms: M.MapState, K, feats, *,
+                   max_hamming=80.0, nn_ratio=0.9, map_id=None):
+    """Prior-free relocalization against the WHOLE active submap.
+
+    The reference relocalizes per retrieval candidate (SearchByBoW against
+    one KF's features, Tracking.cc:3212) because a brute-force scan over the
+    map is hopeless on CPU.  On the MXU the full frame-vs-map Hamming matrix
+    is one matmul, and matching against the map's distinctive descriptors
+    sidesteps single-KF observation sparsity: any subset of map points the
+    frame sees yields 3D-2D pairs for PnP-RANSAC, whichever keyframes
+    observed them."""
+    from ..optim import pnp
+
+    # match against EVERY stored observation descriptor (kf_desc flattened),
+    # not the single per-point representative: a point's appearance varies
+    # across the viewpoints that saw it, and the reference's min-median
+    # ComputeDistinctiveDescriptors is itself only a compromise for CPU
+    # memory — the MXU eats the full [F, K*Fk] matrix
+    mid = ms.active_map if map_id is None else map_id
+    obs_desc = ms.kf_desc.reshape(-1, 8)
+    obs_pt = jnp.where(ms.kf_valid[:, None], ms.kf_point, -1).reshape(-1)
+    obs_ok = (
+        (obs_pt >= 0)
+        & ms.pt_valid[jnp.clip(obs_pt, 0)]
+        & (ms.pt_map_id[jnp.clip(obs_pt, 0)] == mid)
+    )
+    dist = matcher.hamming_matrix(feats.desc, obs_desc)
+    idx, mdist = matcher.match(
+        dist, feats.valid, obs_ok, max_dist=max_hamming, ratio=nn_ratio
+    )
+    idx = jnp.where(idx >= 0, obs_pt[jnp.clip(idx, 0)], -1)
+    matched = idx >= 0
+    X = ms.pt_xyz[jnp.clip(idx, 0)]
+    res = pnp.pnp_ransac(key, K, X, feats.uv, matched,
+                         quality=max_hamming - mdist)
+    # polish the RANSAC pose on its consensus set
+    res2 = pose_opt.pose_optimization(
+        K, res.pose, X, feats.uv, matched & res.inliers
+    )
+    assoc = jnp.where(matched & res.inliers & res2.inliers, idx, -1)
+    # reference keyframe = the one sharing most recovered points
+    P = ms.max_pt
+    hit = jnp.zeros((P,), bool).at[jnp.clip(assoc, 0)].max(assoc >= 0)
+    shared = jnp.sum(
+        hit[jnp.clip(ms.kf_point, 0)] & (ms.kf_point >= 0), axis=1
+    ) * ms.kf_valid
+    ref_kf = jnp.argmax(shared)
+    return TrackResult(
+        pose=res2.pose,
+        assoc=assoc,
+        n_inliers=jnp.sum((assoc >= 0).astype(jnp.int32)),
+        n_candidates=jnp.sum(matched.astype(jnp.int32)),
+    ), ref_kf
 
 
 @jax.jit

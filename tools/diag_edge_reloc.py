@@ -1,0 +1,28 @@
+import sys; sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np
+from rumi_slam_tpu.config import tiny_config
+from rumi_slam_tpu.io.synthetic import SyntheticSequence
+from rumi_slam_tpu.system import SlamSystem
+from rumi_slam_tpu.ops import matcher
+from rumi_slam_tpu.optim import pnp
+
+seq = SyntheticSequence(n_frames=110, width=320, height=240, n_points=2000, seed=11,
+                        patch=3, lost_span=(45, 55))
+cfg = tiny_config()
+slam = SlamSystem(cfg)
+for i in range(45):
+    img, t = seq.frame(i)
+    slam.track_monocular(img, t)
+print("edge: state", slam.state.name, "n_kf", slam.stats["n_kf"], "n_pt", int(jnp.sum(slam.ms.pt_valid)))
+for i in [55, 57, 60]:
+    img, t = seq.frame(i)
+    feats = slam._extract(jnp.asarray(img))
+    ms = slam.ms
+    dist = matcher.hamming_matrix(feats.desc, ms.pt_desc)
+    idx, _ = matcher.match(dist, feats.valid, ms.pt_valid, max_dist=matcher.TH_LOW, ratio=0.9)
+    matched = idx >= 0
+    X = ms.pt_xyz[jnp.clip(idx, 0)]
+    res = pnp.pnp_ransac(jax.random.PRNGKey(0), slam.K, X, feats.uv, matched)
+    print(f"frame {i}: matches {int(jnp.sum(matched))} pnp_inl {int(res.n_inliers)}")
