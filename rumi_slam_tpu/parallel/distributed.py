@@ -65,9 +65,19 @@ def global_mesh(hosts: int | None = None):
 
     devs = np.asarray(jax.devices())
     n_hosts = hosts or max(1, jax.process_count())
+    if n_hosts > len(devs):
+        raise ValueError(
+            f"global_mesh: {n_hosts} hosts requested but only {len(devs)} "
+            "devices are visible — every host axis entry needs >=1 device"
+        )
+    if len(devs) % n_hosts != 0:
+        raise ValueError(
+            f"global_mesh: {len(devs)} devices do not divide evenly over "
+            f"{n_hosts} hosts; pass hosts= explicitly or fix the topology "
+            "(trailing devices would be silently dropped)"
+        )
     per_host = len(devs) // n_hosts
-    return Mesh(devs[: n_hosts * per_host].reshape(n_hosts, per_host),
-                ("host", "chip"))
+    return Mesh(devs.reshape(n_hosts, per_host), ("host", "chip"))
 
 
 def process_local_devices():

@@ -389,7 +389,20 @@ class SlamSystem:
                 self.ms, self.last_kf_id
             )
             self.ms = local_mapping.cull_points(self.ms)
-            self._maybe_compact()
+            # compaction renumbers point slots: remap the incoming assoc
+            # (old point ids) through pt_map or the new KF binds its
+            # features to whatever landmarks now occupy those slots
+            pt_map = self._maybe_compact()
+            if pt_map is not None:
+                assoc = jnp.where(
+                    assoc >= 0, pt_map[jnp.clip(assoc, 0)], -1
+                )
+            else:
+                # eviction/culling may have invalidated referenced points
+                assoc = jnp.where(
+                    (assoc >= 0) & self.ms.pt_valid[jnp.clip(assoc, 0)],
+                    assoc, -1,
+                )
             ms = self.ms
             if int(ms.n_kf) >= ms.max_kf:
                 self._log(f"[map] KF capacity {ms.max_kf} full; "
@@ -478,19 +491,23 @@ class SlamSystem:
         """Slot reclamation (VERDICT r2 missing #5): when capacity nears and
         culling has freed slots, compact them away so max_kf/max_pt bound the
         LIVE map, not the run length (reference KeyFrame::SetBadFlag simply
-        erases heap objects)."""
+        erases heap objects).
+
+        Returns the point old->new slot map ([P] int32, -1 for dead) when a
+        compaction happened, else None — callers holding pre-compaction
+        point ids (the capacity path's ``assoc``) must remap through it."""
         ms = self.ms
         near_kf = int(ms.n_kf) >= ms.max_kf - 4
         near_pt = int(ms.n_pt) >= int(0.95 * ms.max_pt)
         if not (near_kf or near_pt):
-            return
+            return None
         dead_kf = int(ms.n_kf) - int(jnp.sum(ms.kf_valid))
         dead_pt = int(ms.n_pt) - int(jnp.sum(ms.pt_valid))
         if dead_kf < 4 and dead_pt < 64:
-            return
+            return None
         if self.mapper is not None and not self.mapper.idle():
-            return  # worker snapshots would go stale under renumbering
-        ms2, kf_map, _ = M.compact(ms)
+            return None  # worker snapshots would go stale under renumbering
+        ms2, kf_map, pt_map = M.compact(ms)
         self.ms = ms2
         if self.last_kf_id >= 0 and int(kf_map[self.last_kf_id]) >= 0:
             self.last_kf_id = int(kf_map[self.last_kf_id])
@@ -499,6 +516,7 @@ class SlamSystem:
         self.stats["n_compactions"] = self.stats.get("n_compactions", 0) + 1
         self._log(f"[map] compacted: {dead_kf} KF / {dead_pt} point slots "
                   "reclaimed")
+        return jnp.asarray(pt_map)
 
     # ------------------------------------------------------------------
     def _track_recently_lost(self, feats, t):

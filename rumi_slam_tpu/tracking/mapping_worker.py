@@ -81,6 +81,7 @@ def run_mapping_round(ms: M.MapState, K, cfg, kf_id: int, *,
         n_iters=cfg.mapping.local_ba_iters,
         use_stereo=use_stereo,
         bf=cam.bf,
+        fixed_ring=cfg.mapping.lba_fixed_ring,
     )
     ms = local_mapping.cull_points(ms)
     ms = M.refresh_point_descriptors(ms, kf_id)
@@ -122,6 +123,8 @@ def merge_mapping_result(cur: M.MapState, snap: M.MapState,
         pt_valid=mapped.pt_valid,
         pt_map_id=mapped.pt_map_id,
         pt_ref_kf=mapped.pt_ref_kf,
+        pt_octave=mapped.pt_octave,
+        pt_angle=mapped.pt_angle,
         pt_visible=mapped.pt_visible + (cur.pt_visible - snap.pt_visible),
         pt_found=mapped.pt_found + (cur.pt_found - snap.pt_found),
         n_pt=mapped.n_pt,
@@ -136,6 +139,7 @@ class MappingWorker:
         self.K = K
         self._tasks: queue.Queue[Optional[MappingTask]] = queue.Queue(1)
         self._result: Optional[MappingOutcome] = None
+        self._error: Optional[BaseException] = None
         self._lock = threading.Lock()
         self._busy = False
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -147,15 +151,20 @@ class MappingWorker:
             task = self._tasks.get()
             if task is None:
                 return
-            out = run_mapping_round(
-                task.ms, self.K, self.cfg, task.kf_id,
-                use_stereo=task.use_stereo, key=task.key,
-                kf_count=task.kf_count,
-            )
-            jax.block_until_ready(out.mapped.kf_pose)
-            with self._lock:
-                self._result = out
-                self._busy = False
+            try:
+                out = run_mapping_round(
+                    task.ms, self.K, self.cfg, task.kf_id,
+                    use_stereo=task.use_stereo, key=task.key,
+                    kf_count=task.kf_count,
+                )
+                jax.block_until_ready(out.mapped.kf_pose)
+                with self._lock:
+                    self._result = out
+                    self._busy = False
+            except BaseException as e:  # keep the loop alive; re-raise on
+                with self._lock:        # the tracker side (poll/flush)
+                    self._error = e
+                    self._busy = False
 
     # -- tracker side --------------------------------------------------
     def idle(self) -> bool:
@@ -172,8 +181,14 @@ class MappingWorker:
                                     key, int(kf_count)))
         return True
 
+    def _raise_pending(self):
+        err, self._error = self._error, None
+        if err is not None:
+            raise RuntimeError("mapping worker round failed") from err
+
     def poll(self) -> Optional[MappingOutcome]:
         with self._lock:
+            self._raise_pending()
             out, self._result = self._result, None
             return out
 
@@ -187,6 +202,7 @@ class MappingWorker:
         while time.monotonic() < deadline:
             with self._lock:
                 if not self._busy:
+                    self._raise_pending()
                     out, self._result = self._result, None
                     return out
             time.sleep(0.002)

@@ -192,6 +192,46 @@ def test_compaction_reclaims_slots_and_remaps():
     assert (np.diff(t) >= 0).all()
 
 
+def test_worker_error_surfaces_and_loop_survives(monkeypatch):
+    """A failing mapping round must not wedge the worker (ADVICE r3 medium
+    #3): the error re-raises on the tracker side at poll/flush, _busy
+    clears, and the SAME worker thread accepts + completes the next task."""
+    import jax
+
+    from rumi_slam_tpu.mapstate import map_state as M
+    from rumi_slam_tpu.tracking import mapping_worker as MW
+
+    cfg = tiny_config()
+    K = cfg.intrinsics()
+    worker = MW.MappingWorker(cfg, K)
+    ms = M.empty(16, 64, 512)
+
+    real_round = MW.run_mapping_round
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected mapping failure")
+        return real_round(*a, **kw)
+
+    monkeypatch.setattr(MW, "run_mapping_round", boom)
+    try:
+        assert worker.submit(ms, 0, use_stereo=False,
+                             key=jax.random.PRNGKey(0), kf_count=1)
+        with pytest.raises(RuntimeError, match="mapping worker round"):
+            worker.flush(timeout=30.0)
+        # the loop must still be alive and idle
+        assert worker.idle()
+        # second task on a trivial (but valid-shaped) map completes
+        assert worker.submit(ms, 0, use_stereo=False,
+                             key=jax.random.PRNGKey(1), kf_count=2)
+        out = worker.flush(timeout=120.0)
+        assert out is not None and calls["n"] == 2
+    finally:
+        worker.shutdown()
+
+
 @pytest.mark.slow
 def test_long_run_exceeds_capacity_with_compaction():
     """A run whose LOGICAL keyframe count exceeds max_kf keeps tracking:
