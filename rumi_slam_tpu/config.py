@@ -63,6 +63,10 @@ class MapConfig:
     max_pt: int = 16384
     local_window: int = 8        # KFs in local BA window
     local_ba_iters: int = 6
+    # fixed boundary ring: out-of-window KFs observing window points enter
+    # local BA with the camera held fixed (reference Optimizer.cc:1041-1055);
+    # bounded to the top-N by shared-observation count, 0 = off
+    lba_fixed_ring: int = 6
     min_covis_weight: int = 15
     # reference launch/main.launch:33 kf_culling (default false)
     kf_culling: bool = False

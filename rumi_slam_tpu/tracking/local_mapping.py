@@ -92,33 +92,68 @@ def triangulate_with_neighbor(ms: M.MapState, K, kf_new, kf_ref, *,
     return ms, jnp.sum(ok.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("window", "n_iters", "use_stereo"))
+@partial(jax.jit, static_argnames=("window", "n_iters", "use_stereo",
+                                   "fixed_ring"))
 def local_bundle_adjustment(ms: M.MapState, K, kf_id, *, window: int = 8,
                             n_iters: int = 6, use_stereo: bool = False,
-                            bf=0.0):
+                            bf=0.0, fixed_ring: int = 6):
     """Windowed BA around ``kf_id``: the covisibility window is adjustable
     (minus the two lowest-id anchors for gauge), all observed points are free.
 
-    The reference additionally fixes a boundary ring of KFs observing window
-    points (Optimizer.cc:1041-1055); here gauge anchoring is by the two oldest
-    window KFs — with functional snapshots the rest of the map cannot drift
-    mid-update, so the ring is an accuracy refinement deferred to the welding
-    BA (rumination.merge).
+    The reference additionally fixes a boundary ring of out-of-window KFs
+    observing window points (Optimizer.cc:1041-1055): their observations
+    enter the problem with the camera held FIXED, so shared points are not
+    dragged against frozen out-of-window views.  Here the ring is the
+    ``fixed_ring`` out-of-window KFs with the most observations of window
+    points (the reference takes all of them; bounding keeps the problem
+    shape static — covisibility decays fast, so the top few carry nearly
+    all shared observations).  Set fixed_ring=0 to disable.
     """
     W = window
     ids, valid_w = M.local_window(ms, kf_id, window=W)
     F = ms.max_feat
 
-    poses_w = ms.kf_pose[ids]
-    cam_idx = jnp.repeat(jnp.arange(W), F)
-    pt = ms.kf_point[ids].reshape(-1)
-    uv = ms.kf_uv[ids].reshape(-1, 2)
-    octv = ms.kf_octave[ids].reshape(-1)
-    conf = (
+    # -- fixed boundary ring (reference Optimizer.cc:1041-1055) ----------
+    Rng = fixed_ring
+    if Rng > 0:
+        # points observed by the window
+        win_pt = ms.kf_point[ids]                                  # [W,F]
+        wpt = jnp.zeros((ms.max_pt,), bool).at[
+            jnp.clip(win_pt.reshape(-1), 0)
+        ].set(win_pt.reshape(-1) >= 0, mode="drop")
+        wpt = wpt & ms.pt_valid
+        # per-KF count of observations of window points
+        obs_w = (ms.kf_point >= 0) & wpt[jnp.clip(ms.kf_point, 0)]  # [K,F]
+        ov = jnp.sum(obs_w, axis=1).astype(jnp.int32)
+        in_win = jnp.zeros((ms.max_kf,), bool).at[ids].set(valid_w,
+                                                           mode="drop")
+        eligible = ms.kf_valid & ~in_win & (
+            ms.kf_map_id == ms.kf_map_id[kf_id])
+        score = jnp.where(eligible, ov, -1)
+        ring_ov, ring_ids = jax.lax.top_k(score, Rng)
+        ring_valid = ring_ov > 0
+        all_ids = jnp.concatenate([ids, ring_ids])
+        all_valid = jnp.concatenate([valid_w, ring_valid])
+    else:
+        all_ids, all_valid = ids, valid_w
+    C = W + max(Rng, 0)
+
+    poses_w = ms.kf_pose[all_ids]
+    cam_idx = jnp.repeat(jnp.arange(C), F)
+    pt = ms.kf_point[all_ids].reshape(-1)
+    uv = ms.kf_uv[all_ids].reshape(-1, 2)
+    octv = ms.kf_octave[all_ids].reshape(-1)
+    conf_b = (
         (pt >= 0)
-        & ms.kf_feat_valid[ids].reshape(-1)
-        & jnp.repeat(valid_w, F)
-    ).astype(jnp.float32) * octave_inv_sigma2(octv)
+        & ms.kf_feat_valid[all_ids].reshape(-1)
+        & jnp.repeat(all_valid, F)
+    )
+    if Rng > 0:
+        # ring observations participate ONLY for window points (the
+        # reference adds no edges to non-local points from fixed KFs)
+        ring_rows = jnp.repeat(jnp.arange(C) >= W, F)
+        conf_b = conf_b & (~ring_rows | wpt[jnp.clip(pt, 0)])
+    conf = conf_b.astype(jnp.float32) * octave_inv_sigma2(octv)
 
     # gauge: hold the two oldest (smallest slot id) valid window members
     big = jnp.int32(1 << 30)
@@ -126,29 +161,33 @@ def local_bundle_adjustment(ms: M.MapState, K, kf_id, *, window: int = 8,
     anchor1 = jnp.min(order)
     sec = jnp.where(order == anchor1, big, order)
     anchor2 = jnp.min(sec)
-    cam_free = valid_w & (ids != anchor1) & (ids != anchor2)
+    cam_free = all_valid & (all_ids != anchor1) & (all_ids != anchor2)
+    if Rng > 0:
+        cam_free = cam_free & (jnp.arange(C) < W)   # ring KFs stay fixed
 
     # stereo/RGB-D: add the u_r residual row where the window KFs carry
     # stereo measurements (reference LocalBundleAdjustment stereo edges)
-    ur = ms.kf_ur[ids].reshape(-1) if use_stereo else None
+    ur = ms.kf_ur[all_ids].reshape(-1) if use_stereo else None
     res = ba.bundle_adjust(
         K, poses_w, ms.pt_xyz, cam_idx, jnp.clip(pt, 0), uv, conf,
         cam_free, ms.pt_valid, n_iters=n_iters,
         bf=jnp.float32(bf) if use_stereo else None, ur=ur,
     )
 
-    # write back window poses and all points
+    # write back window poses and all points (ring poses were fixed)
     new_kf_pose = ms.kf_pose.at[ids].set(
-        jnp.where(valid_w[:, None], res.poses, ms.kf_pose[ids])
+        jnp.where(valid_w[:, None], res.poses[:W], ms.kf_pose[ids])
     )
     ms = ms._replace(kf_pose=new_kf_pose, pt_xyz=res.points)
 
-    # drop outlier observations (reference erases high-chi2 edges after LBA)
-    inl = res.inlier_obs.reshape(W, F)
+    # drop outlier observations (reference erases high-chi2 edges after
+    # LBA) — window rows only; ring KFs keep their associations
+    inl = res.inlier_obs.reshape(C, F)[:W]
+    conf_w = conf.reshape(C, F)[:W]
     kf_point = ms.kf_point
     for w in range(W):  # static unroll — W is small
         row = kf_point[ids[w]]
-        row = jnp.where((conf.reshape(W, F)[w] > 0) & ~inl[w], -1, row)
+        row = jnp.where((conf_w[w] > 0) & ~inl[w], -1, row)
         row = jnp.where(valid_w[w], row, kf_point[ids[w]])
         kf_point = kf_point.at[ids[w]].set(row)
     return ms._replace(kf_point=kf_point)
@@ -238,6 +277,13 @@ def fuse_with_neighbors(ms: M.MapState, K, kf_id, *, window: int = 4,
         kf_point = kf_point.at[nb].set(jnp.where(upd >= 0, upd, row))
         n_added = n_added + jnp.sum(add.astype(jnp.int32))
 
+    # resolve transitive chains before applying (C fused into B by one
+    # neighbor pass, B into A by another): pointer-double fuse_to until
+    # every target is itself un-fused, so no reference gets relabeled to a
+    # point this same pass kills (ADVICE r3 low #4)
+    for _ in range(3):  # depth 2^3 >> the `window` passes that build chains
+        nxt = fuse_to[jnp.clip(fuse_to, 0, P - 1)]
+        fuse_to = jnp.where((fuse_to < P) & (nxt < P), nxt, fuse_to)
     # apply fusion: relabel every reference of a dropped point, kill it
     have_target = fuse_to < P
     tgt = jnp.where(have_target, fuse_to, -1)
