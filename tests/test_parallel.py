@@ -94,3 +94,60 @@ class TestShardedBA:
         pc = lie.se3_apply(res_poses[jnp.asarray(cam_idx)], jnp.asarray(pts_back)[jnp.asarray(pt_idx)])
         err = jnp.linalg.norm(camera.project(K, pc) - jnp.asarray(uv), axis=-1)
         assert float(jnp.mean(err)) < 1.0
+
+    def test_pcg_matches_single_device(self):
+        """Matrix-free PCG Schur solve reaches the same optimum as the dense
+        replicated solve (r4: the scaling-wall fix)."""
+        import pytest
+
+        from conftest import cpu_mesh_devices
+
+        devs = cpu_mesh_devices(8)
+        if devs is None:
+            pytest.skip("needs virtual CPU mesh")
+        mesh = Mesh(np.array(devs), ("ba",))
+        D = 8
+        poses, poses_n, X_n, cam_idx, pt_idx, uv, conf = make_problem()
+        n_pts = X_n.shape[0]
+        n_cams = poses.shape[0]
+        cam_free = jnp.asarray([False, False] + [True] * (n_cams - 2))
+
+        part = sharded_ba.partition_problem_grouped(
+            cam_idx, pt_idx, uv, conf, n_pts, D, obs_per_point=n_cams)
+        assert part["dropped_obs"] == 0
+        Pl = part["pts_per_shard"]
+        pts_sh = np.zeros((D, Pl, 3), np.float32)
+        rows = part["point_rows"]
+        X_np = np.asarray(X_n)
+        for d in range(D):
+            ok = rows[d] < n_pts
+            pts_sh[d, ok] = X_np[rows[d][ok]]
+
+        res_poses, res_pts, cost = sharded_ba.sharded_bundle_adjust_pcg(
+            mesh, K, poses_n,
+            jnp.asarray(pts_sh.reshape(D * Pl, 3)),
+            jnp.asarray(part["cam_idx"].reshape(D * Pl, -1)),
+            jnp.asarray(part["uv"].reshape(D * Pl, -1, 2)),
+            jnp.asarray(part["conf"].reshape(D * Pl, -1)),
+            cam_free, n_iters=8, cg_iters=24,
+        )
+
+        ref = ba.bundle_adjust(
+            K, poses_n, X_n, jnp.asarray(cam_idx), jnp.asarray(pt_idx),
+            jnp.asarray(uv), jnp.asarray(conf), cam_free,
+            jnp.ones(n_pts, bool), n_iters=8,
+        )
+        for i in range(2, n_cams):
+            e = lie.se3_log(lie.se3_compose(
+                res_poses[i], lie.se3_inverse(ref.poses[i])))
+            assert float(jnp.linalg.norm(e)) < 2e-3, f"cam {i} diverged"
+
+        pts_back = np.zeros((n_pts, 3), np.float32)
+        res_np = np.asarray(res_pts).reshape(D, Pl, 3)
+        for d in range(D):
+            ok = rows[d] < n_pts
+            pts_back[rows[d][ok]] = res_np[d][ok]
+        pc = lie.se3_apply(res_poses[jnp.asarray(cam_idx)],
+                           jnp.asarray(pts_back)[jnp.asarray(pt_idx)])
+        err = jnp.linalg.norm(camera.project(K, pc) - jnp.asarray(uv), axis=-1)
+        assert float(jnp.mean(err)) < 1.0
