@@ -23,13 +23,19 @@ RESULT_COLUMNS = [
     "front_cloud_match_num", "back_cloud_match_num",
     "lost_timestamp", "new_map_timestamp",
     "n_kf", "n_points", "n_maps", "n_merges", "merge_inlier_ratio",
-    "bundle_frames", "upload_mb", "rss_mb",
+    "bundle_frames", "upload_mb", "upload_mb_raw", "drops", "rss_mb",
 ]
 
 
 def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
-             realtime_pace: bool = False) -> dict:
-    """Run the full system over a sequence; return a result-row dict."""
+             realtime_pace: float = 0.0) -> dict:
+    """Run the full system over a sequence; return a result-row dict.
+
+    ``realtime_pace`` > 0 replays at pace x real time with the reference's
+    drop semantics (cloud_edge_main.cpp:597-610: the replay clock never
+    waits): a frame whose timestamp has already passed by more than one
+    frame interval when the tracker gets to it is DROPPED, counted in the
+    ``drops`` column, and the completion ``rate`` degrades accordingly."""
     import jax
 
     from ..evaluation import ate as ate_mod
@@ -41,8 +47,22 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
     slam.key = jax.random.PRNGKey(seed)
     coord = RuminationCoordinator(slam, config) if enable_rumination else None
 
+    drops = 0
+    tb = float(seq.times[0]) if len(seq) else 0.0
+    slack = (
+        float(np.median(np.diff(np.asarray(seq.times))))
+        if len(seq) > 2 else 0.033
+    )
     t_start = time.perf_counter()
     for i in range(len(seq)):
+        if realtime_pace > 0:
+            due = (float(seq.times[i]) - tb) / realtime_pace
+            elapsed = time.perf_counter() - t_start
+            if elapsed > due + slack:
+                drops += 1      # tracker fell behind; frame expired
+                continue
+            if due > elapsed:
+                time.sleep(due - elapsed)
         img, t = seq.frame(i)
         slam.track_monocular(img, t)
         if coord is not None:
@@ -81,6 +101,8 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
         "merge_inlier_ratio": merges[0]["cloud_merge"].get("inlier_ratio", 0.0) if merges else 0.0,
         "bundle_frames": merges[0].get("bundle_size", 0) if merges else 0,
         "upload_mb": sum(h.get("upload_mb", 0.0) for h in (coord.history if coord else [])),
+        "upload_mb_raw": sum(h.get("upload_mb_raw", 0.0) for h in (coord.history if coord else [])),
+        "drops": drops,
         "rss_mb": rss_mb,
     }
 

@@ -159,16 +159,35 @@ class RuminationCoordinator:
         kf_v = np.asarray(ms.kf_valid)
         t_front = np.sort(kf_t[(kf_m == front) & kf_v])
         t_back = np.sort(kf_t[(kf_m == back) & kf_v])
-        bundle = self.assembler.assemble(
-            self._frames_for_times(t_front),
-            self.sampler.all_frames,
-            self._frames_for_times(t_back),
-        )
+        front_frames = self._frames_for_times(t_front)
+        back_frames = self._frames_for_times(t_back)
+        # the PD-subsampled lost list is the PRIMARY payload (reference
+        # CloudImageSampler.cc:147-151 filters mvLostImages — the
+        # KFDSample-selected list — into mvCurrentCloudProcessImages); the
+        # raw no-sampling list is only the fallback when sampling left too
+        # few frames for the backend to chain (reference's >=5 sampled gate,
+        # CloudImageSampler.cc:89-91)
+        sampled = self.sampler.sampled
+        raw = self.sampler.all_frames
+        lost = sampled if len(sampled) >= 5 else raw
+        bundle = self.assembler.assemble(front_frames, lost, back_frames)
+        info["n_lost_raw"] = len(raw)
+        info["n_lost_sampled"] = len(sampled)
         if bundle is not None:
             info["bundle_size"] = len(bundle)
             # upload bandwidth accounting (reference measures the upload bag
-            # MB, cloud_edge_main.cpp:487-497)
+            # MB, cloud_edge_main.cpp:487-497): record BOTH what was shipped
+            # and what the un-sampled bundle would have cost, so the PD
+            # bandwidth win is a measured number
             info["upload_mb"] = sum(f.image.nbytes for f in bundle) / 1e6
+            raw_bundle = (
+                bundle if lost is raw
+                else self.assembler.assemble(front_frames, raw, back_frames)
+            )
+            info["upload_mb_raw"] = (
+                sum(f.image.nbytes for f in raw_bundle) / 1e6
+                if raw_bundle is not None else info["upload_mb"]
+            )
         return bundle
 
     def _run_rumination(self, front: int, back: int) -> Optional[dict]:
