@@ -10,9 +10,15 @@ Usage:
   python examples/run_tum.py --data /path/to/rgbd_dataset_freiburg3_xyz \
       --preset tum3 [--rgbd] [--pace 1.0] [--out results/]
 
-With --pace > 0 frames are consumed at pace x real time through the native
-C++ frame ring (runtime/edge_runtime.cpp), dropping frames the tracker cannot
-keep up with — the reference's realtime semantics.  --pace 0 replays offline.
+With --pace > 0 (monocular) frames flow through the native C++ SPSC frame
+ring (runtime/edge_runtime.cpp FrameQueue, drop-OLDEST when full): a producer
+paces frames at pace x real time — the fully-native tum_start_replay thread
+when the dataset is PGM/PPM, a Python decode thread otherwise — and the
+tracking loop pops.  Frames the tracker cannot keep up with are dropped by
+the ring and counted in result.csv's ``drops`` column, the reference's
+realtime semantics (cloud_edge_main.cpp:597-610 paced replay racing the
+tracker).  --pace 0 (default) replays offline, every frame tracked.
+RGB-D mode paces by sleeping only (no ring, no drops).
 """
 
 from __future__ import annotations
@@ -25,6 +31,72 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_paced(slam, coord, seq, data_root: str, pace: float):
+    """Realtime monocular replay through the native SPSC frame ring
+    (reference cloud_edge_main.cpp:597-610: the replay clock never waits for
+    the tracker; frames it cannot keep up with are lost).
+
+    Producer: the C++ tum_start_replay thread when every frame is PGM/PPM
+    (fully native decode+pace), else a Python decode thread pacing into the
+    same native ring.  Consumer: this loop, popping whatever survived the
+    drop-oldest policy.  Returns (drops, n_tracked)."""
+    import threading
+
+    from rumi_slam_tpu.runtime import native
+
+    img0, _ = seq.frame(0)
+    H, W = img0.shape
+    if not native.available():
+        raise RuntimeError("--pace needs the native runtime (g++)")
+    q = native.FrameQueue(8, H, W)
+    all_pnm = all(p.lower().endswith((".pgm", ".ppm", ".pnm"))
+                  for p in seq._rgb_paths)
+    nd = None
+    fin = threading.Event()
+    if all_pnm:
+        nd = native.TumDataset(str(data_root))
+        nd.start_replay(q, pace)
+        done = lambda: nd.replay_done
+    else:
+        stop = threading.Event()
+
+        def produce():
+            start = time.perf_counter()
+            tb = float(seq.times[0])
+            for i in range(len(seq)):
+                if stop.is_set():
+                    break
+                img, t = seq.frame(i)
+                lag = (t - tb) / pace - (time.perf_counter() - start)
+                if lag > 0:
+                    time.sleep(lag)
+                q.push(t, img)
+            fin.set()
+
+        threading.Thread(target=produce, daemon=True).start()
+        done = fin.is_set
+
+    n_tracked = 0
+    try:
+        while True:
+            item = q.pop()
+            if item is None:
+                if done() and len(q) == 0:
+                    break
+                time.sleep(0.001)
+                continue
+            t, img = item
+            slam.track_monocular(img, t)
+            n_tracked += 1
+            if coord is not None:
+                coord.maybe_ruminate()
+        return int(q.dropped), n_tracked
+    finally:
+        if nd is not None:
+            nd.close()
+        q.close()
 
 
 def main():
@@ -69,22 +141,28 @@ def main():
     slam = SlamSystem(cfg)
     coord = None if args.no_rumination else RuminationCoordinator(slam, cfg)
 
+    drops, n_tracked = 0, 0
     t0 = time.perf_counter()
     with MemoryMonitor() as mem:
-        for i in range(len(seq)):
-            if args.rgbd:
-                img, depth, t = seq.frame_rgbd(i)
-                slam.track_rgbd(img, depth, t)
-            else:
-                img, t = seq.frame(i)
-                slam.track_monocular(img, t)
-            if coord is not None:
-                coord.maybe_ruminate()
-            if args.pace > 0 and i + 1 < len(seq):
-                lag = (seq.times[i + 1] - seq.times[0]) / args.pace - (
-                    time.perf_counter() - t0)
-                if lag > 0:
-                    time.sleep(lag)
+        if args.pace > 0 and not args.rgbd:
+            drops, n_tracked = run_paced(slam, coord, seq, args.data,
+                                         args.pace)
+        else:
+            for i in range(len(seq)):
+                if args.rgbd:
+                    img, depth, t = seq.frame_rgbd(i)
+                    slam.track_rgbd(img, depth, t)
+                else:
+                    img, t = seq.frame(i)
+                    slam.track_monocular(img, t)
+                n_tracked += 1
+                if coord is not None:
+                    coord.maybe_ruminate()
+                if args.pace > 0 and i + 1 < len(seq):
+                    lag = (seq.times[i + 1] - seq.times[0]) / args.pace - (
+                        time.perf_counter() - t0)
+                    if lag > 0:
+                        time.sleep(lag)
     runtime = time.perf_counter() - t0
 
     times, poses = slam.trajectory_of_map()
@@ -93,7 +171,13 @@ def main():
     trajectory.save_tum(out_dir / "keyframes.txt", kt, kp)
 
     row = {"dataset": Path(args.data).name, "runtime_s": runtime,
-           "n_kf": slam.stats["n_kf"], "rss_mb": mem.peak_mb()}
+           "n_kf": slam.stats["n_kf"], "rss_mb": mem.peak_mb(),
+           "drops": drops, "n_tracked": n_tracked}
+    if coord is not None:
+        row["upload_mb"] = sum(
+            h.get("upload_mb", 0.0) for h in coord.history)
+        row["upload_mb_raw"] = sum(
+            h.get("upload_mb_raw", 0.0) for h in coord.history)
     try:
         gt_times, gt_xyz, gt_quat = seq.groundtruth()
     except OSError:
