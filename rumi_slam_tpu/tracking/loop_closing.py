@@ -58,10 +58,12 @@ def detect_loop_candidates(ms: M.MapState, kf_id, *, top_k: int = 3,
     covis = M.covisibility(ms)[kf_id] >= M.MIN_COVIS_WEIGHT
     slot_gap = jnp.abs(jnp.arange(ms.max_kf) - kf_id) < min_time_gap_slots
     same_map = ms.kf_map_id == ms.kf_map_id[kf_id]
-    score = jnp.where(
-        ms.kf_valid & same_map & ~covis & ~slot_gap, score, 0
-    )
-    vals, ids = jax.lax.top_k(score, top_k)
+    eligible = ms.kf_valid & same_map & ~covis & ~slot_gap
+    # covisibility-group accumulation before ranking (reference
+    # DetectNBestCandidates, KeyFrameDatabase.cc:604)
+    from . import tracker as _tr
+
+    ids, vals = _tr.covis_group_rank(ms, score, eligible, top_k)
     return LoopCandidate(kf_id=ids, score=vals)
 
 

@@ -238,9 +238,11 @@ def relocalize_map(key, ms: M.MapState, K, feats, *,
         & ms.pt_valid[jnp.clip(obs_pt, 0)]
         & (ms.pt_map_id[jnp.clip(obs_pt, 0)] == mid)
     )
-    dist = matcher.hamming_matrix(feats.desc, obs_desc)
-    idx, mdist = matcher.match(
-        dist, feats.valid, obs_ok, max_dist=max_hamming, ratio=nn_ratio
+    # tiled match: [F, K*Fk] at full capacity is ~1 GB — scan KF-chunks with
+    # a running top-2 instead (peak HBM = one [F, K*Fk/16] block)
+    idx, mdist = matcher.match_chunked(
+        feats.desc, feats.valid, obs_desc, obs_ok,
+        n_chunks=min(16, ms.max_kf), max_dist=max_hamming, ratio=nn_ratio,
     )
     idx = jnp.where(idx >= 0, obs_pt[jnp.clip(idx, 0)], -1)
     matched = idx >= 0
@@ -267,13 +269,41 @@ def relocalize_map(key, ms: M.MapState, K, feats, *,
     ), ref_kf
 
 
+def covis_group_rank(ms: M.MapState, score, eligible, top_k: int):
+    """Covisibility-group score accumulation (reference KeyFrameDatabase::
+    DetectNBestCandidates, KeyFrameDatabase.cc:604: each candidate's score
+    is summed over its covisibility group before ranking, and the group is
+    represented by its best individual member).
+
+    One extra [K,K] matmul against the existing covisibility matrix — the
+    discrimination this buys shows exactly when several neighbors each
+    half-see a place (perceptual aliasing): the true region's group
+    accumulates, an alias's lone KF does not.
+
+    Returns (kf_ids [top_k] — best member of each top group, acc_scores).
+    """
+    score = jnp.where(eligible, score, 0).astype(jnp.float32)
+    Wgt = M.covisibility(ms)
+    nb = (Wgt >= M.MIN_COVIS_WEIGHT) & eligible[None, :] & eligible[:, None]
+    acc = score + nb.astype(jnp.float32) @ score          # group-summed
+    acc = jnp.where(eligible, acc, 0.0)
+    vals, gids = jax.lax.top_k(acc, top_k)
+    # represent each winning group by its highest-scoring member
+    self_or_nb = nb[gids].at[jnp.arange(top_k), gids].set(True)
+    member_score = jnp.where(self_or_nb, score[None, :], -1.0)
+    members = jnp.argmax(member_score, axis=1).astype(jnp.int32)
+    return members, vals
+
+
 @jax.jit
 def relocalization_candidates(ms: M.MapState, feats, *, top_k=3):
     """Descriptor-retrieval relocalization candidates: score every KF by its
     number of strong Hamming matches to the frame (replaces the reference's
-    DBoW2 inverted index, KeyFrameDatabase::DetectRelocalizationCandidates).
+    DBoW2 inverted index, KeyFrameDatabase::DetectRelocalizationCandidates),
+    then accumulate scores over covisibility groups before ranking
+    (DetectNBestCandidates, KeyFrameDatabase.cc:604).
 
-    Returns (kf_ids [top_k], scores [top_k]).
+    Returns (kf_ids [top_k], group-accumulated scores [top_k]).
     """
     # distance of each frame feature to each KF feature: [F, K*F] is too big
     # at full capacity; instead score against per-point distinctive
@@ -283,6 +313,4 @@ def relocalization_candidates(ms: M.MapState, feats, *, top_k=3):
     per_point = jnp.any(strong, axis=0)  # [P] point has a strong match
     B = M.incidence(ms)  # [K, P]
     score = jnp.sum(B & per_point[None, :], axis=1)  # [K]
-    score = score * ms.kf_valid
-    vals, ids = jax.lax.top_k(score, top_k)
-    return ids, vals
+    return covis_group_rank(ms, score, ms.kf_valid, top_k)

@@ -125,3 +125,17 @@ class TestMatcher:
         uv_b = jnp.asarray([[1.0, 0.0], [20.0, 20.0]])
         m = matcher.radius_mask(uv_a, uv_b, 5.0)
         assert bool(m[0, 0]) and not bool(m[0, 1]) and not bool(m[1, 1])
+
+    def test_chunked_matches_dense(self):
+        """match_chunked (the bounded-HBM whole-map reloc path) must agree
+        with the dense matcher exactly — same top-2, threshold, ratio."""
+        a = jnp.asarray(RNG.integers(0, 2**32, size=(64, 8), dtype=np.uint32))
+        b = jnp.asarray(RNG.integers(0, 2**32, size=(256, 8), dtype=np.uint32))
+        va = jnp.asarray(RNG.random(64) > 0.1)
+        vb = jnp.asarray(RNG.random(256) > 0.1)
+        d = matcher.hamming_matrix(a, b)
+        idx_d, md_d = matcher.match(d, va, vb, max_dist=120.0, ratio=0.95)
+        idx_c, md_c = matcher.match_chunked(
+            a, va, b, vb, n_chunks=8, max_dist=120.0, ratio=0.95)
+        np.testing.assert_array_equal(np.asarray(idx_d), np.asarray(idx_c))
+        np.testing.assert_allclose(np.asarray(md_d), np.asarray(md_c))
