@@ -8,6 +8,8 @@ import pytest
 
 from rumi_slam_tpu.io import datasets
 
+pytestmark = pytest.mark.core
+
 GT_ROOT = "/root/reference/src/rumi-slam/groundtruth"
 
 needs_fixtures = pytest.mark.skipif(

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from rumi_slam_tpu.geometry import distortion
 
+pytestmark = pytest.mark.core
+
 
 K = jnp.asarray([517.3, 516.5, 318.6, 255.3])
 # TUM1's real coefficients (reference config/TUM1.yaml commented block)

@@ -7,6 +7,8 @@ import pytest
 
 from rumi_slam_tpu.geometry import alignment, camera, lie, triangulation
 
+pytestmark = pytest.mark.core
+
 RNG = np.random.default_rng(0)
 
 

@@ -6,6 +6,9 @@ import numpy as np
 from rumi_slam_tpu.geometry import lie
 from rumi_slam_tpu.mapstate import map_state as M
 from rumi_slam_tpu.ops.orb import Features
+import pytest
+
+pytestmark = pytest.mark.core
 
 RNG = np.random.default_rng(2)
 

@@ -11,6 +11,8 @@ from rumi_slam_tpu.geometry import lie
 from rumi_slam_tpu.io import settings as st
 from rumi_slam_tpu.io import trajectory as tio
 
+pytestmark = pytest.mark.core
+
 
 REF_YAML = """\
 %YAML:1.0

@@ -5,6 +5,9 @@ import time
 
 from rumi_slam_tpu.utils import verbose
 from rumi_slam_tpu.utils.profiling import MemoryMonitor, StageTimer
+import pytest
+
+pytestmark = pytest.mark.core
 
 
 def test_stage_timer():
