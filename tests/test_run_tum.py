@@ -84,3 +84,42 @@ def test_run_tum_driver(tmp_path):
         row = next(csv.DictReader(f))
     assert float(row["ate"]) < 0.2, row
     assert int(row["n_kf"]) >= 2
+
+
+def test_paced_replay_drops_when_tracker_slow(tmp_path):
+    """run_tum's paced loop (native SPSC ring, drop-oldest): a tracker
+    slower than the replay clock MUST lose frames, and the loss must be
+    counted — the reference's realtime semantics
+    (cloud_edge_main.cpp:597-610).  Drives run_paced directly with a
+    deliberately slow tracker stub."""
+    import time
+
+    from rumi_slam_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    sys.path.insert(0, os.path.join(REPO, "examples"))
+    from run_tum import run_paced
+
+    class Seq:
+        times = np.arange(40) / 30.0
+        _rgb_paths = ["f.png"] * 40    # non-PNM -> python producer path
+
+        def __len__(self):
+            return 40
+
+        def frame(self, i):
+            return np.full((24, 32), float(i), np.float32), float(self.times[i])
+
+    class SlowSlam:
+        tracked = []
+
+        def track_monocular(self, img, t):
+            self.tracked.append(t)
+            time.sleep(0.08)       # 80 ms/frame vs 33 ms cadence
+
+    slam = SlowSlam()
+    drops, n_tracked = run_paced(slam, None, Seq(), str(tmp_path), pace=1.0)
+    assert drops > 0, "slow tracker must drop frames"
+    assert n_tracked + drops == 40
+    assert n_tracked == len(slam.tracked)

@@ -163,3 +163,66 @@ class TestLocalMapping:
         )
         ms2 = local_mapping.cull_points(ms, min_obs=1)
         assert int(jnp.sum(ms2.pt_valid)) < int(jnp.sum(ms.pt_valid))
+
+
+class TestCovisGroupRetrieval:
+    def test_aliased_place_resolved_by_group_score(self):
+        """Perceptual aliasing (VERDICT r3 missing #6): three covisible KFs
+        each half-see the true place; a single alias KF carries MORE
+        individually-matching points than any one of them.  Individual
+        scoring ranks the alias first; covisibility-group accumulation
+        (KeyFrameDatabase::DetectNBestCandidates) must rank the true
+        region's group first."""
+        rng = np.random.default_rng(9)
+        ms = M.empty(8, 32, 128)
+
+        place_desc = rng.integers(0, 2**32, (30, 8), dtype=np.uint32)
+        backgr_desc = rng.integers(0, 2**32, (20, 8), dtype=np.uint32)
+        alias_desc = place_desc[:12].copy()     # same appearance, elsewhere
+
+        pt_desc = np.asarray(ms.pt_desc).copy()
+        pt_desc[0:30] = place_desc
+        pt_desc[30:50] = backgr_desc
+        pt_desc[50:62] = alias_desc
+        pt_valid = np.zeros(128, bool)
+        pt_valid[:62] = True
+
+        kf_point = np.full((8, 32), -1, np.int32)
+        # KFs 0/1/2: 10 distinct place points each + all 20 background
+        # points (the shared structure that makes them covisible, >=15)
+        for k in range(3):
+            kf_point[k, :10] = np.arange(10) + 10 * k
+            kf_point[k, 10:30] = np.arange(30, 50)
+        # KF 3: the alias — observes 12 points that LOOK like the place
+        kf_point[3, :12] = np.arange(50, 62)
+
+        kf_valid = np.zeros(8, bool)
+        kf_valid[:4] = True
+        ms = ms._replace(
+            pt_desc=jnp.asarray(pt_desc), pt_valid=jnp.asarray(pt_valid),
+            kf_point=jnp.asarray(kf_point), kf_valid=jnp.asarray(kf_valid),
+            n_kf=jnp.int32(4), n_pt=jnp.int32(62),
+        )
+
+        F = 32
+        fdesc = np.asarray(rng.integers(0, 2**32, (F, 8), dtype=np.uint32))
+        fdesc[:30] = place_desc               # query sees the whole place
+        feats = Features(
+            uv=jnp.zeros((F, 2)), response=jnp.zeros(F),
+            angle=jnp.zeros(F), octave=jnp.zeros(F, jnp.int32),
+            desc=jnp.asarray(fdesc), valid=jnp.ones(F, bool),
+        )
+
+        # sanity: individually the alias KF outscores any single true KF
+        dist = __import__("rumi_slam_tpu.ops.matcher", fromlist=["m"]
+                          ).hamming_matrix(feats.desc, ms.pt_desc)
+        strong = np.asarray((dist < 50.0) & feats.valid[:, None]
+                            & ms.pt_valid[None, :]).any(0)
+        indiv = [(strong[kf_point[k][kf_point[k] >= 0]]).sum()
+                 for k in range(4)]
+        assert indiv[3] > max(indiv[:3]), indiv
+
+        ids, scores = tracker.relocalization_candidates(ms, feats)
+        assert int(ids[0]) in (0, 1, 2), (
+            f"group scoring must beat the alias: top={int(ids[0])}, "
+            f"indiv={indiv}, scores={np.asarray(scores)}")
