@@ -110,6 +110,10 @@ def main():
                     help="realtime pace factor (0 = offline)")
     ap.add_argument("--out", default="results")
     ap.add_argument("--no-rumination", action="store_true")
+    ap.add_argument("--async-rumination", action="store_true",
+                    help="build cloud submaps on the rumination shard "
+                         "(global-mesh placed: last chip of last host) "
+                         "overlapped with tracking")
     args = ap.parse_args()
 
     import numpy as np
@@ -139,7 +143,14 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
 
     slam = SlamSystem(cfg)
-    coord = None if args.no_rumination else RuminationCoordinator(slam, cfg)
+    shard = None
+    if args.async_rumination and not args.no_rumination:
+        from rumi_slam_tpu.rumination.remote import (
+            AsyncRuminationShard, pick_rumination_device)
+
+        shard = AsyncRuminationShard(cfg, device=pick_rumination_device())
+    coord = (None if args.no_rumination
+             else RuminationCoordinator(slam, cfg, async_shard=shard))
 
     drops, n_tracked = 0, 0
     t0 = time.perf_counter()

@@ -94,10 +94,17 @@ class AsyncRuminationShard:
 
 
 def pick_rumination_device():
-    """Last device of the default backend — by convention the rumination
-    shard; the realtime tracker uses device 0 (reference: edge PC vs cloud
-    server)."""
+    """Place the rumination shard via the global ("host","chip") mesh: the
+    LAST chip of the LAST host row, so in a multi-host deployment the
+    non-realtime build sits across the DCN boundary from the tracker on
+    host 0 chip 0 — the same place the reference pays its ROS-TCP upload
+    (parallel/distributed.py layout rule).  Single-device runs return None
+    (backend shares the tracker's device)."""
     import jax
 
-    devs = jax.devices()
-    return devs[-1] if len(devs) > 1 else None
+    if len(jax.devices()) <= 1:
+        return None
+    from ..parallel.distributed import global_mesh
+
+    mesh = global_mesh()
+    return mesh.devices[-1, -1]
