@@ -176,6 +176,16 @@ def main():
                         time.sleep(lag)
     runtime = time.perf_counter() - t0
 
+    if shard is not None:
+        # drain an in-flight cloud build before export (the reference waits
+        # for CloudMerger idle at end of run, cloud_edge_main.cpp:613-617)
+        deadline = time.perf_counter() + 120.0
+        while shard.busy and time.perf_counter() < deadline:
+            time.sleep(0.05)
+        if coord is not None:
+            coord.maybe_ruminate()
+        shard.shutdown()
+
     times, poses = slam.trajectory_of_map()
     trajectory.save_tum(out_dir / "whole_map.txt", times, poses)
     kt, kp = slam.keyframe_trajectory()

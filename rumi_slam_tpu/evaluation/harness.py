@@ -23,7 +23,8 @@ RESULT_COLUMNS = [
     "front_cloud_match_num", "back_cloud_match_num",
     "lost_timestamp", "new_map_timestamp",
     "n_kf", "n_points", "n_maps", "n_merges", "merge_inlier_ratio",
-    "bundle_frames", "upload_mb", "upload_mb_raw", "drops", "rss_mb",
+    "bundle_frames", "upload_mb", "upload_mb_raw", "drops", "n_tracked",
+    "rss_mb",
 ]
 
 
@@ -120,12 +121,17 @@ def repeat_experiment(seq_factory, config, *, repeats: int = 5,
                       out_dir: Optional[str] = None,
                       enable_rumination: bool = True) -> list[dict]:
     """Reference repeat.sh equivalent: N independent runs, aggregate CSV."""
+    import sys
+
     rows = []
     for r in range(repeats):
         seq = seq_factory(r)
         row = run_once(seq, config, seed=r, enable_rumination=enable_rumination)
         row["repeat"] = r
         rows.append(row)
+        print(f"[repeat {r}] ate={row['ate']:.4f} rate={row['rate']:.3f} "
+              f"merges={row['n_merges']} kf={row['n_kf']} "
+              f"t={row['runtime_s']:.0f}s", file=sys.stderr, flush=True)
         if out_dir:
             write_result_csv(row, Path(out_dir) / f"run_{r:03d}" / "result.csv")
     if out_dir:

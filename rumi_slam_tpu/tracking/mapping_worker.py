@@ -192,10 +192,12 @@ class MappingWorker:
             out, self._result = self._result, None
             return out
 
-    def flush(self, timeout: float = 60.0) -> Optional[MappingOutcome]:
+    def flush(self, timeout: float = 600.0) -> Optional[MappingOutcome]:
         """Wait for the in-flight task (if any) and return its result —
         called before structural host events (map reset, rumination merge,
-        checkpoint save) so exactly one writer touches the map."""
+        checkpoint save) so exactly one writer touches the map.  The
+        generous default absorbs first-compile latency on a tunneled
+        device (a cold mapping round can spend minutes in XLA)."""
         import time
 
         deadline = time.monotonic() + timeout
