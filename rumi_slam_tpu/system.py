@@ -405,8 +405,14 @@ class SlamSystem:
                 )
             ms = self.ms
             if int(ms.n_kf) >= ms.max_kf:
-                self._log(f"[map] KF capacity {ms.max_kf} full; "
-                          "keyframe dropped")
+                # always audible (ADVICE r3 weak #10): dropping a keyframe
+                # is a capacity-planning failure the operator must see, not
+                # a verbosity-gated detail (kf_full counts it as well)
+                from .utils.verbose import Level
+
+                self._log(f"[map] KF capacity {ms.max_kf} full even after "
+                          "eviction+compaction; keyframe dropped",
+                          Level.QUIET)
                 return
             self._log(f"[map] capacity eviction freed "
                       f"{ms.max_kf - int(ms.n_kf)} KF slots")
