@@ -298,7 +298,8 @@ def _round_up(n, step=32):
     return max(step, ((n + step - 1) // step) * step)
 
 
-def global_bundle_adjustment(ms: M.MapState, K, map_id, *, n_iters: int = 12):
+def global_bundle_adjustment(ms: M.MapState, K, map_id, *, n_iters: int = 12,
+                             mesh=None):
     """Full-map BA over one submap — the reference's GlobalBundleAdjustemnt
     (Optimizer.cc:48/:54, relaunched after merges from
     CloudMerging::RunGlobalBundleAdjustment, CloudMerging.cc:1957).
@@ -310,8 +311,17 @@ def global_bundle_adjustment(ms: M.MapState, K, map_id, *, n_iters: int = 12):
     envelope set by the live map, not the static capacity.  (A pure
     resection-intersection alternation was tried first and zigzags on the
     correlated pose-point mode.)  Gauge: the two oldest KFs stay fixed.
+
+    ``mesh``: an optional jax.sharding.Mesh with axis "ba" — routes the
+    solve through the distributed matrix-free PCG engine
+    (parallel.sharded_ba.sharded_bundle_adjust_pcg), sharding points over
+    the mesh devices; this is the post-merge multi-chip GBA path
+    (SCALING.json).  None = single-device dense-Schur (default).
     """
     import numpy as np
+
+    if mesh is not None:
+        return _global_ba_sharded(ms, K, map_id, mesh, n_iters=n_iters)
 
     kf_rows = np.flatnonzero(np.asarray((ms.kf_map_id == map_id) & ms.kf_valid))
     pt_rows = np.flatnonzero(np.asarray((ms.pt_map_id == map_id) & ms.pt_valid))
@@ -366,6 +376,75 @@ def global_bundle_adjustment(ms: M.MapState, K, map_id, *, n_iters: int = 12):
     new_pt_xyz = ms.pt_xyz.at[jnp.asarray(pt_rows)].set(
         res.points[: len(pt_rows)]
     )
+    return ms._replace(kf_pose=new_kf_pose, pt_xyz=new_pt_xyz)
+
+
+def _global_ba_sharded(ms: M.MapState, K, map_id, mesh, *, n_iters: int,
+                       max_obs_per_point: int = 16):
+    """Distributed GBA: compact the submap, group observations by point
+    (R slots), shard points round-robin over the mesh's "ba" axis, and run
+    the matrix-free PCG Schur solve.  Observations beyond
+    ``max_obs_per_point`` for one landmark are dropped WITH a log line
+    (no silent caps) — in bounded-window maps multiplicities above 16 are
+    rare and carry little marginal information."""
+    import numpy as np
+
+    from ..parallel import sharded_ba
+    from ..utils import verbose
+
+    D = int(np.prod(mesh.devices.shape))
+    kf_rows = np.flatnonzero(np.asarray((ms.kf_map_id == map_id) & ms.kf_valid))
+    pt_rows = np.flatnonzero(np.asarray((ms.pt_map_id == map_id) & ms.pt_valid))
+    if len(kf_rows) < 3 or len(pt_rows) < 8:
+        return ms
+    C = len(kf_rows)
+    kf_local = np.full(ms.max_kf, -1, np.int64)
+    kf_local[kf_rows] = np.arange(C)
+    pt_local = np.full(ms.max_pt, -1, np.int64)
+    pt_local[pt_rows] = np.arange(len(pt_rows))
+
+    kp = np.asarray(ms.kf_point[kf_rows])                 # [C, F]
+    feat_ok = np.asarray(ms.kf_feat_valid[kf_rows])
+    obs_sel = (kp >= 0) & feat_ok & (pt_local[np.clip(kp, 0, None)] >= 0)
+    cam_idx = np.repeat(np.arange(C), ms.max_feat).reshape(kp.shape)[obs_sel]
+    pt_idx = pt_local[np.clip(kp, 0, None)][obs_sel]
+    uv = np.asarray(ms.kf_uv[kf_rows]).reshape(-1, 2)[obs_sel.reshape(-1)]
+    conf = np.asarray(octave_inv_sigma2(
+        ms.kf_octave[kf_rows].reshape(-1))).reshape(kp.shape)[obs_sel]
+
+    part = sharded_ba.partition_problem_grouped(
+        cam_idx.astype(np.int32), pt_idx.astype(np.int32),
+        uv.astype(np.float32), conf.astype(np.float32),
+        len(pt_rows), D, obs_per_point=max_obs_per_point)
+    if part["dropped_obs"]:
+        verbose.print_mess(
+            f"[gba] sharded GBA dropped {part['dropped_obs']} observations "
+            f"beyond {max_obs_per_point}/point", verbose.Level.QUIET)
+    Pl = part["pts_per_shard"]
+    X = np.asarray(ms.pt_xyz[pt_rows])
+    pts_sh = np.zeros((D, Pl, 3), np.float32)
+    rows = part["point_rows"]
+    for d in range(D):
+        ok = rows[d] < len(pt_rows)
+        pts_sh[d, ok] = X[rows[d][ok]]
+
+    poses = jnp.asarray(np.asarray(ms.kf_pose[kf_rows]))
+    cam_free = jnp.asarray(np.arange(C) >= 2)
+    res_poses, res_pts, _ = sharded_ba.sharded_bundle_adjust_pcg(
+        mesh, jnp.asarray(K), poses,
+        jnp.asarray(pts_sh.reshape(D * Pl, 3)),
+        jnp.asarray(part["cam_idx"].reshape(D * Pl, -1)),
+        jnp.asarray(part["uv"].reshape(D * Pl, -1, 2)),
+        jnp.asarray(part["conf"].reshape(D * Pl, -1)),
+        cam_free, n_iters=n_iters)
+
+    X_new = np.asarray(res_pts).reshape(D, Pl, 3)
+    X_out = X.copy()
+    for d in range(D):
+        ok = rows[d] < len(pt_rows)
+        X_out[rows[d][ok]] = X_new[d][ok]
+    new_kf_pose = ms.kf_pose.at[jnp.asarray(kf_rows)].set(res_poses)
+    new_pt_xyz = ms.pt_xyz.at[jnp.asarray(pt_rows)].set(jnp.asarray(X_out))
     return ms._replace(kf_pose=new_kf_pose, pt_xyz=new_pt_xyz)
 
 

@@ -95,6 +95,72 @@ class TestShardedBA:
         err = jnp.linalg.norm(camera.project(K, pc) - jnp.asarray(uv), axis=-1)
         assert float(jnp.mean(err)) < 1.0
 
+    def test_sharded_gba_on_mapstate(self):
+        """global_bundle_adjustment(mesh=...) — the in-system distributed
+        GBA path — must reduce reprojection error on a perturbed submap
+        like the dense path does."""
+        import pytest
+
+        from conftest import cpu_mesh_devices
+        from rumi_slam_tpu.mapstate import map_state as M
+        from rumi_slam_tpu.ops.orb import Features
+        from rumi_slam_tpu.tracking import local_mapping
+
+        devs = cpu_mesh_devices(4)
+        if devs is None:
+            pytest.skip("needs virtual CPU mesh")
+        mesh = Mesh(np.array(devs[:4]), ("ba",))
+
+        rng = np.random.default_rng(5)
+        n_pts, F, C = 128, 64, 6
+        ms = M.empty(max_kf=8, max_feat=F, max_pt=256)
+        X = jnp.asarray(rng.uniform([-2, -1.5, 3], [2, 1.5, 8],
+                                    (n_pts, 3)).astype(np.float32))
+        desc = jnp.asarray(rng.integers(0, 2**32, (n_pts, 8),
+                                        dtype=np.uint32))
+        ms, ids = M.add_points(ms, X, desc, jnp.ones(n_pts, bool), 0)
+        poses_true = []
+        for i in range(C):
+            q = np.asarray(lie.so3_exp(jnp.asarray(
+                rng.normal(scale=0.02, size=3).astype(np.float32))))
+            poses_true.append(np.concatenate(
+                [q, np.array([0.25 * i, 0, 0], np.float32)]))
+        for i in range(C):
+            T = jnp.asarray(poses_true[i])
+            uv, _ = camera.project_world(K, T, X)
+            take = jnp.asarray((np.arange(F) + i * 16) % n_pts)
+            feats = Features(
+                uv=uv[take], response=jnp.ones(F), angle=jnp.zeros(F),
+                octave=jnp.zeros(F, jnp.int32), desc=desc[take],
+                valid=jnp.ones(F, bool))
+            ms, _ = M.insert_keyframe(ms, T, feats, float(i), ids[take])
+
+        # perturb poses (keep 2 anchors) and points
+        kfp = np.asarray(ms.kf_pose).copy()
+        kfp[2:C, 4:7] += rng.normal(scale=0.05, size=(C - 2, 3))
+        ptx = np.asarray(ms.pt_xyz).copy()
+        ptx[:n_pts] += rng.normal(scale=0.05, size=(n_pts, 3))
+        ms = ms._replace(kf_pose=jnp.asarray(kfp), pt_xyz=jnp.asarray(ptx))
+
+        def reproj_err(ms_):
+            tot, n = 0.0, 0
+            for i in range(C):
+                pt = np.asarray(ms_.kf_point[i])
+                sel = pt >= 0
+                Xw = np.asarray(ms_.pt_xyz)[pt[sel]]
+                uv, _ = camera.project_world(
+                    K, ms_.kf_pose[i], jnp.asarray(Xw))
+                tot += float(np.sum(np.linalg.norm(
+                    np.asarray(uv) - np.asarray(ms_.kf_uv[i])[sel], axis=-1)))
+                n += int(sel.sum())
+            return tot / max(n, 1)
+
+        e0 = reproj_err(ms)
+        ms2 = local_mapping.global_bundle_adjustment(
+            ms, K, 0, n_iters=10, mesh=mesh)
+        e1 = reproj_err(ms2)
+        assert e1 < 0.25 * e0, (e0, e1)
+
     def test_pcg_matches_single_device(self):
         """Matrix-free PCG Schur solve reaches the same optimum as the dense
         replicated solve (r4: the scaling-wall fix)."""
