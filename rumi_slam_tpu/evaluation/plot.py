@@ -153,6 +153,9 @@ def plot_map(path, ms, *, title="map"):
     ax.set_title(title)
     ax.legend(markerscale=4)
     ax.set_aspect("equal", adjustable="datalim")
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    fig.savefig(path, dpi=110, bbox_inches="tight")
+    if hasattr(path, "write"):          # file-like (LiveViewer streaming)
+        fig.savefig(path, dpi=110, bbox_inches="tight", format="png")
+    else:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)

@@ -67,3 +67,103 @@ class MapViewer:
     def _run(self):
         while not self._stop.wait(self.period_s):
             self._snapshot()
+
+
+class LiveViewer:
+    """Live map viewer over HTTP — the headless deployment's stand-in for
+    the reference's Pangolin window (Viewer.cc Viewer::Run): serves an
+    auto-refreshing page with the current map render plus a live stats
+    JSON, reading immutable MapState snapshots so it never blocks or races
+    the tracker.
+
+    ``LiveViewer(slam, port=8642).start()`` then open http://host:8642/.
+    Endpoints: ``/`` (html), ``/map.png`` (fresh render), ``/stats``.
+    """
+
+    def __init__(self, slam, *, port: int = 8642, period_s: float = 1.0):
+        self.slam = slam
+        self.port = port
+        self.period_s = period_s
+        self._httpd = None
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        import http.server
+        import io
+        import json
+
+        viewer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                try:
+                    if self.path == "/stats":
+                        slam = viewer.slam
+                        ms = slam.ms
+                        body = json.dumps({
+                            **slam.stats,
+                            "state": slam.state.name,
+                            "n_maps": int(ms.n_maps),
+                            "active_map": int(ms.active_map),
+                        }).encode()
+                        self._send(200, "application/json", body)
+                    elif self.path == "/map.png":
+                        from . import plot
+
+                        ms = viewer.slam.ms
+                        buf = io.BytesIO()
+                        plot.plot_map(buf, ms,
+                                      title=f"live @ {int(ms.n_kf)} KFs")
+                        self._send(200, "image/png", buf.getvalue())
+                    else:
+                        t = int(viewer.period_s * 1000)
+                        html = (
+                            "<html><head><title>rumi_slam_tpu live</title>"
+                            "</head><body style='background:#111;"
+                            "color:#eee;font-family:monospace'>"
+                            "<pre id=s></pre>"
+                            "<img id=m src=/map.png style='max-width:100%'>"
+                            f"<script>setInterval(async()=>{{"
+                            "document.getElementById('s').textContent="
+                            "JSON.stringify(await (await fetch('/stats'))"
+                            ".json(),null,1);"
+                            "document.getElementById('m').src="
+                            f"'/map.png?'+Date.now()}},{t});</script>"
+                            "</body></html>").encode()
+                        self._send(200, "text/html", html)
+                except BrokenPipeError:
+                    pass
+                except Exception:
+                    try:
+                        self._send(500, "text/plain", b"render error")
+                    except Exception:
+                        pass
+
+        import http.server as hs
+        import socketserver
+
+        class Server(socketserver.ThreadingMixIn, hs.HTTPServer):
+            daemon_threads = True
+
+        self._httpd = Server(("0.0.0.0", self.port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

@@ -36,3 +36,31 @@ def test_viewer_snapshots(tmp_path):
     pngs = list(tmp_path.glob("map_*.png"))
     assert len(pngs) >= 2
     assert all(p.stat().st_size > 1000 for p in pngs)
+
+
+def test_live_viewer_http(tmp_path):
+    import enum
+    import json
+    import urllib.request
+
+    from rumi_slam_tpu.evaluation.viewer import LiveViewer
+
+    class _S(enum.Enum):
+        OK = 1
+
+    slam = _FakeSlam()
+    slam.stats = {"n_kf": 3}
+    slam.state = _S.OK
+    v = LiveViewer(slam, port=18642, period_s=0.2).start()
+    try:
+        html = urllib.request.urlopen(
+            "http://127.0.0.1:18642/", timeout=10).read()
+        assert b"rumi_slam_tpu live" in html
+        stats = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18642/stats", timeout=10).read())
+        assert stats["n_kf"] == 3 and stats["state"] == "OK"
+        png = urllib.request.urlopen(
+            "http://127.0.0.1:18642/map.png", timeout=30).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) > 1000
+    finally:
+        v.stop()
