@@ -114,6 +114,8 @@ def main():
                     help="build cloud submaps on the rumination shard "
                          "(global-mesh placed: last chip of last host) "
                          "overlapped with tracking")
+    ap.add_argument("--viewer", type=int, default=0, metavar="PORT",
+                    help="serve the live map viewer on this port")
     args = ap.parse_args()
 
     import numpy as np
@@ -152,6 +154,13 @@ def main():
     coord = (None if args.no_rumination
              else RuminationCoordinator(slam, cfg, async_shard=shard))
 
+    viewer = None
+    if args.viewer:
+        from rumi_slam_tpu.evaluation.viewer import LiveViewer
+
+        viewer = LiveViewer(slam, port=args.viewer).start()
+        print(f"live viewer: http://localhost:{args.viewer}/")
+
     drops, n_tracked = 0, 0
     t0 = time.perf_counter()
     with MemoryMonitor() as mem:
@@ -176,6 +185,8 @@ def main():
                         time.sleep(lag)
     runtime = time.perf_counter() - t0
 
+    if viewer is not None:
+        viewer.stop()
     if shard is not None:
         # drain an in-flight cloud build before export (the reference waits
         # for CloudMerger idle at end of run, cloud_edge_main.cpp:613-617)
