@@ -54,9 +54,24 @@ def main():
             args.seq, duration_s=args.duration, seed=100 + r,
             lost_span_s=tuple(args.lost))
 
-    rows = harness.repeat_experiment(
-        seq_factory, cfg, repeats=args.repeats,
-        enable_rumination=not args.no_rumination)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), args.out)
+    rows = []
+    for r in range(args.repeats):
+        row = harness.run_once(seq_factory(r), cfg, seed=r,
+                               enable_rumination=not args.no_rumination)
+        row["repeat"] = r
+        rows.append(row)
+        print(f"[repeat {r}] ate={row['ate']:.4f} rate={row['rate']:.3f} "
+              f"merges={row['n_merges']} t={row['runtime_s']:.0f}s",
+              file=sys.stderr, flush=True)
+        # write INCREMENTALLY: partial distributions survive a killed run
+        _write(path, rows, args, complete=(r == args.repeats - 1))
+    print("written:", path)
+
+
+def _write(path, rows, args, *, complete):
+    import numpy as np
 
     ates = np.asarray([r["ate"] for r in rows])
     finite = ates[np.isfinite(ates)]
@@ -66,7 +81,9 @@ def main():
                       "rendering — real images unavailable: zero egress)",
         "duration_s": args.duration,
         "lost_gap_s": list(args.lost),
-        "repeats": args.repeats,
+        "repeats_planned": args.repeats,
+        "repeats_done": len(rows),
+        "complete": complete,
         "rumination": not args.no_rumination,
         "ate_m": {
             "median": float(np.median(finite)) if len(finite) else None,
@@ -95,13 +112,11 @@ def main():
             for r in rows
         ],
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
-                      ("ate_m", "rate_mean", "merged_runs")}, indent=1))
-    print("written:", path)
+                      ("ate_m", "rate_mean", "merged_runs")}, indent=1),
+          flush=True)
 
 
 if __name__ == "__main__":
