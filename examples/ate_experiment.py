@@ -32,7 +32,17 @@ def main():
     ap.add_argument("--seq", default="rgbd_dataset_freiburg1_floor")
     ap.add_argument("--out", default="ATE_r04.json")
     ap.add_argument("--no-rumination", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (NOTE: the env var "
+                         "JAX_PLATFORMS loses to this container's "
+                         "sitecustomize TPU registration; config.update "
+                         "is the only reliable override)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import dataclasses
 
