@@ -207,6 +207,11 @@ class RuminationCoordinator:
         cm = self.backend.build(bundle)
         if cm is None:
             info["result"] = "backend_failed"
+            # one attempt per matured map — the reference marks BOTH maps
+            # merged when the bundle is published, before any result
+            # (CloudImageSampler.cc:190-191); without this the coordinator
+            # re-runs the full backend build every frame forever
+            self.merged_maps.add(info["back"])
             self.history.append(info)
             return info
         return self._finish_rumination(info, cm)

@@ -528,6 +528,16 @@ class SlamSystem:
     def _track_recently_lost(self, feats, t):
         cfg = self.cfg.tracking
         self.stats["n_lost_frames"] += 1
+        # featureless frame (covered lens / textureless view — the loss
+        # events themselves): relocalization cannot succeed with fewer
+        # candidate features than the inlier gate, so skip the whole
+        # reloc pipeline (map-level matmul + PnP RANSAC + per-candidate
+        # attempts) instead of running it to a guaranteed miss
+        if int(jnp.sum(feats.valid)) < cfg.min_track_inliers:
+            if (self.lost_since is not None
+                    and t - self.lost_since > cfg.reloc_window_s):
+                self.state = TrackState.LOST
+            return
         # map-level prior-free PnP first: one MXU Hamming matmul against the
         # whole submap's points beats per-candidate-KF scans (tracker.
         # relocalize_map; the reference's per-KF SearchByBoW loop remains the

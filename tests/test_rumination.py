@@ -160,3 +160,26 @@ class TestSampler:
         front = [RecordedFrame(float(t), np.zeros((4, 4))) for t in range(10)]
         back = [RecordedFrame(20.0 + t, np.zeros((4, 4))) for t in range(10)]
         assert asm.assemble(front, [], back) is None
+
+
+def test_sync_backend_failure_is_single_attempt():
+    """Regression (r4): a failed synchronous backend build must mark the
+    back map attempted — the reference marks both maps merged when the
+    bundle is PUBLISHED (CloudImageSampler.cc:190-191), before any result.
+    Without it the coordinator re-ran the full backend build every frame."""
+    from rumi_slam_tpu.config import tiny_config
+    from rumi_slam_tpu.rumination.coordinator import RuminationCoordinator
+    from rumi_slam_tpu.system import SlamSystem
+    from test_async_rumination import FakeBackend, _bundle
+
+    slam = SlamSystem(tiny_config())
+    backend = FakeBackend(fail=True, delay=0.0)
+    coord = RuminationCoordinator(slam, slam.cfg, backend=backend)
+    coord._assemble_bundle = lambda info, f, b: _bundle(10)
+
+    info = coord._run_rumination(0, 1)
+    assert info["result"] == "backend_failed"
+    assert backend.calls == 1
+    # the back map is now marked attempted: maybe_ruminate's
+    # `active in merged_maps` guard prevents any further build
+    assert 1 in coord.merged_maps
