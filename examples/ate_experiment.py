@@ -55,9 +55,18 @@ def main():
     cfg = tiny_config()
     # short reloc window forces genuine LOSS at the gap (the rumination
     # path, not PnP relocalization, must stitch the run — same forcing as
-    # tests/test_rumination_e2e.py)
+    # tests/test_rumination_e2e.py); bundle budgets closer to the
+    # reference's 40/40 so the backend has enough back-head context to
+    # rebuild and weld the far side of the gap
     cfg = dataclasses.replace(
-        cfg, tracking=dataclasses.replace(cfg.tracking, reloc_window_s=0.1))
+        cfg,
+        tracking=dataclasses.replace(cfg.tracking, reloc_window_s=0.1),
+        sampler=dataclasses.replace(cfg.sampler, n_track_last=16,
+                                    n_new_track_first=12, min_time_s=0.4,
+                                    min_bundle=10),
+        # capacity for the live maps PLUS the imported cloud map over a
+        # 15-20 s run at ~4 KF/s (tiny's 64 drops cloud KFs silently)
+        mapping=dataclasses.replace(cfg.mapping, max_kf=192, max_pt=8192))
 
     def seq_factory(r):
         return GroundtruthSequence(

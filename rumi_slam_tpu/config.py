@@ -118,6 +118,11 @@ class SamplerConfig:
     pd_setpoint: float = 12.0        # target mean optical-flow magnitude
     max_track_last: int = 50
     min_bundle: int = 30
+    # bounded full-rate context windows either side of the loss gap (the
+    # reference ships KF-subsampled images because DROID tracks across any
+    # baseline, CloudImageSampler.cc:104-145; a sparse-feature backend
+    # needs temporal density — window seconds, thinned to max_track_last)
+    context_window_s: float = 1.6
     # maturity gate on the edge-back map's trajectory curvature
     # (reference nNewTrackFirstMinTrajCurvature, CloudImageSampler.h:80 —
     # default 0.0 = disabled)

@@ -76,7 +76,9 @@ def world_along_trajectory(K, poses_cw, n_points: int, seed: int,
     T_wc = jax.vmap(lie.se3_inverse)(T_cw)
     Xw = jax.vmap(lie.se3_apply)(T_wc, Xc)
     inten = rng.uniform(60, 255, n_points).astype(np.float32)
-    size = rng.uniform(0.015, 0.05, n_points).astype(np.float32)
+    # sized so splats render ~7-15 px at fr1's 1-3 m depths: the textured
+    # patch must dominate the BRIEF window for view-stable descriptors
+    size = rng.uniform(0.04, 0.12, n_points).astype(np.float32)
     t = 2 * synthetic.TEX_R + 1
     tex = rng.uniform(0.35, 1.0, size=(n_points, t, t)).astype(np.float32)
     return synthetic.SyntheticWorld(
@@ -100,7 +102,7 @@ class GroundtruthSequence:
 
     def __init__(self, name="rgbd_dataset_freiburg1_floor", *, width=320,
                  height=240, K=None, n_points=2500, seed=0,
-                 lost_span_s=None, duration_s=None, fps=30.0, patch=3):
+                 lost_span_s=None, duration_s=None, fps=30.0, patch=6):
         path = (name if os.path.isabs(name)
                 else os.path.join(GT_ROOT, name, "groundtruth.txt"))
         times, T_wc = load_tum_groundtruth(path)

@@ -20,7 +20,13 @@ import numpy as np
 from ..geometry import camera, lie
 
 
-TEX_R = 4  # per-landmark texture half-size (supports patch <= 4)
+TEX_R = 8  # per-landmark texture half-size (supports patch <= 8).
+# Size matters for descriptor realism: BRIEF samples a ~31 px window, and
+# when the rendered patch is much smaller than that the descriptor encodes
+# the CONSTELLATION of neighboring splats — which shears apart under
+# viewpoint change, making cross-view matching (relocalization, the
+# rumination weld) unrealistically hard.  Real surfaces carry view-stable
+# local texture; bigger per-landmark albedo patches model that.
 
 
 class SyntheticWorld(NamedTuple):

@@ -65,9 +65,16 @@ class RuminationBackend:
             ),
         )
 
-    def build(self, bundle: list[RecordedFrame]) -> Optional[cloud_map.CloudMap]:
+    def build(self, bundle: list[RecordedFrame],
+              anchor_times=()) -> Optional[cloud_map.CloudMap]:
         """Run offline SLAM over the bundle; return one spanning submap as a
         CloudMap, or None if reconstruction failed.
+
+        ``anchor_times``: timestamps the edge holds keyframes at — the
+        backend forces keyframes there so the CloudMap shares exact
+        timestamps with the live maps, which is what the merge's timestamp
+        data-association keys on (reference CloudMerging.cc:147-164; its
+        DROID backend gets this for free because the upload IS the KF list).
 
         If the loss gap split the reconstruction into two submaps, weld them
         with a descriptor-matched Sim3 between their best-matching keyframe
@@ -76,13 +83,27 @@ class RuminationBackend:
         covisibility factor graph."""
         import jax.numpy as jnp
 
+        anchor_times = np.asarray(sorted(anchor_times))
         slam = SlamSystem(self.cfg)
         ok_frames = 0
+        usable = 0
         for f in bundle:
+            # degenerate (near-constant) frames — the loss events
+            # themselves: covered lens, textureless wall — carry no
+            # reconstructable signal for ANY backend (the reference's
+            # DROID server gets real blurred-but-textured frames) and
+            # must not count against the success-fraction gate below
+            if float(np.std(f.image)) > 1.0:
+                usable += 1
+            if (len(anchor_times)
+                    and np.min(np.abs(anchor_times - f.time)) < 1e-4):
+                # force the staleness trigger of NeedNewKeyFrame so an
+                # anchor frame (if tracked OK) becomes a keyframe
+                slam.frames_since_kf = max(slam.frames_since_kf, 15)
             st = slam.track_monocular(jnp.asarray(f.image), f.time)
             if st == TrackState.OK:
                 ok_frames += 1
-        if slam.stats["n_kf"] < 4 or ok_frames < len(bundle) * 0.25:
+        if slam.stats["n_kf"] < 4 or ok_frames < max(4, usable * 0.25):
             return None
         ms = slam.ms
         from ..mapstate import map_state as M
@@ -128,8 +149,15 @@ class RuminationBackend:
         if len(src_rows) < 2:
             return None
 
+        # spread anchor attempts across the src submap (first KFs sit at
+        # the gap boundary where overlap with dst is often worst)
+        if len(src_rows) > 8:
+            pick = np.unique(np.linspace(0, len(src_rows) - 1, 8).astype(int))
+            src_try = src_rows[pick]
+        else:
+            src_try = src_rows
         anchors = []  # (n_inl, row, T_dst [7])
-        for rank, b in enumerate(src_rows[:5]):
+        for rank, b in enumerate(src_try):
             feats = orb.Features(
                 uv=ms.kf_uv[b], response=jnp.zeros_like(ms.kf_angle[b]),
                 angle=ms.kf_angle[b], octave=ms.kf_octave[b],

@@ -83,6 +83,7 @@ class RuminationCoordinator:
         # (the reference's wait_cloud_result mode)
         self.shard = async_shard
         self._pending: Optional[dict] = None
+        self._anchor_times: list[float] = []
         slam.image_recorder = self.on_frame
 
     # ------------------------------------------------------------------
@@ -152,6 +153,19 @@ class RuminationCoordinator:
         return self._run_rumination(front, active)
 
     # ------------------------------------------------------------------
+    def _frames_in_window(self, lo: float, hi: float, cap: int):
+        """All ring frames with lo <= t <= hi, uniformly thinned to cap.
+
+        The reference ships KF-subsampled images because its DROID backend
+        tracks across arbitrary baselines (CloudImageSampler.cc:104-145);
+        a sparse-feature backend needs temporal density, so the context
+        windows around the gap go at full frame rate within a bounded span."""
+        out = [f for f in self.ring if lo <= f.time <= hi]
+        if len(out) > cap:
+            idx = np.unique(np.linspace(0, len(out) - 1, cap).astype(int))
+            out = [out[i] for i in idx]
+        return out
+
     def _assemble_bundle(self, info: dict, front: int, back: int):
         ms = self.slam.ms
         kf_t = np.asarray(ms.kf_time)
@@ -159,8 +173,23 @@ class RuminationCoordinator:
         kf_v = np.asarray(ms.kf_valid)
         t_front = np.sort(kf_t[(kf_m == front) & kf_v])
         t_back = np.sort(kf_t[(kf_m == back) & kf_v])
-        front_frames = self._frames_for_times(t_front)
-        back_frames = self._frames_for_times(t_back)
+        sc = self.cfg.sampler
+        front_frames = self._frames_in_window(
+            t_front[-1] - sc.context_window_s, t_front[-1],
+            sc.max_track_last)
+        back_frames = self._frames_in_window(
+            t_back[0], t_back[0] + sc.context_window_s, sc.max_track_last)
+        if not front_frames or not back_frames:
+            front_frames = self._frames_for_times(t_front)
+            back_frames = self._frames_for_times(t_back)
+        # anchors: live-KF timestamps inside the context windows — the
+        # backend forces keyframes there so the CloudMap's timestamps
+        # intersect the live maps' (the merge's association key)
+        self._anchor_times = [
+            float(t) for t in np.concatenate([t_front, t_back])
+            if (front_frames[0].time - 1e-6 <= t
+                <= back_frames[-1].time + 1e-6)
+        ]
         # the PD-subsampled lost list is the PRIMARY payload (reference
         # CloudImageSampler.cc:147-151 filters mvLostImages — the
         # KFDSample-selected list — into mvCurrentCloudProcessImages); the
@@ -170,7 +199,7 @@ class RuminationCoordinator:
         sampled = self.sampler.sampled
         raw = self.sampler.all_frames
         lost = sampled if len(sampled) >= 5 else raw
-        bundle = self.assembler.assemble(front_frames, lost, back_frames)
+        bundle = self.assembler.combine(front_frames, lost, back_frames)
         info["n_lost_raw"] = len(raw)
         info["n_lost_sampled"] = len(sampled)
         if bundle is not None:
@@ -182,7 +211,7 @@ class RuminationCoordinator:
             info["upload_mb"] = sum(f.image.nbytes for f in bundle) / 1e6
             raw_bundle = (
                 bundle if lost is raw
-                else self.assembler.assemble(front_frames, raw, back_frames)
+                else self.assembler.combine(front_frames, raw, back_frames)
             )
             info["upload_mb_raw"] = (
                 sum(f.image.nbytes for f in raw_bundle) / 1e6
@@ -199,12 +228,14 @@ class RuminationCoordinator:
             return info
 
         if self.shard is not None:
-            if self.shard.submit(back, bundle):
+            if self.shard.submit(back, bundle,
+                                 anchor_times=self._anchor_times):
                 self._pending = info
             return None  # result harvested by a later poll
 
         # --- synchronous: backend builds the cloud submap inline
-        cm = self.backend.build(bundle)
+        cm = self.backend.build(bundle,
+                                anchor_times=self._anchor_times)
         if cm is None:
             info["result"] = "backend_failed"
             # one attempt per matured map — the reference marks BOTH maps
@@ -228,7 +259,24 @@ class RuminationCoordinator:
         # --- import + double merge (cloud->front, back->front)
         cloud_id = int(ms.n_maps)
         ms = ms._replace(n_maps=ms.n_maps + 1)
-        ms, _ = insert_cloud_map(ms, cm, cloud_id)
+        ms, cloud_kf_ids = insert_cloud_map(ms, cm, cloud_id)
+        # capacity accounting: add_keyframes_bulk silently drops rows past
+        # max_kf — surface it, and fail fast when nothing landed (the merge
+        # would otherwise report a misleading no_kf_matches)
+        n_cloud = int(jnp.sum(cm.kf_valid))
+        n_inserted = int(jnp.sum(cloud_kf_ids >= 0))
+        info["n_cloud_kf"] = n_cloud
+        if n_inserted < n_cloud:
+            info["cloud_kf_dropped"] = n_cloud - n_inserted
+        if n_inserted < 2:
+            slam.ms = ms._replace(
+                kf_valid=ms.kf_valid & (ms.kf_map_id != cloud_id),
+                pt_valid=ms.pt_valid & (ms.pt_map_id != cloud_id),
+            )
+            info["result"] = "kf_capacity_full"
+            self.merged_maps.add(back)
+            self.history.append(info)
+            return info
 
         self.key, k1, k2 = jax.random.split(self.key, 3)
         ms, ok1, i1 = merge_mod.merge_submaps(

@@ -44,13 +44,14 @@ class AsyncRuminationShard:
         self._worker.start()
 
     # -- client side (tracking loop) -----------------------------------
-    def submit(self, job_id: int, bundle: list[RecordedFrame]) -> bool:
+    def submit(self, job_id: int, bundle: list[RecordedFrame],
+               anchor_times=()) -> bool:
         """Non-blocking; returns False if the shard is saturated (the
         reference's action client also refuses overlapping goals)."""
         if self._busy.is_set():
             return False
         try:
-            self._in.put_nowait((job_id, bundle))
+            self._in.put_nowait((job_id, bundle, tuple(anchor_times)))
         except queue.Full:
             return False
         self._busy.set()
@@ -80,13 +81,13 @@ class AsyncRuminationShard:
             item = self._in.get()
             if item is None:
                 break
-            job_id, bundle = item
+            job_id, bundle, anchors = item
             try:
                 if self.device is not None:
                     with jax.default_device(self.device):
-                        cm = self.backend.build(bundle)
+                        cm = self.backend.build(bundle, anchor_times=anchors)
                 else:
-                    cm = self.backend.build(bundle)
+                    cm = self.backend.build(bundle, anchor_times=anchors)
             except Exception:
                 cm = None
             self._out.put((job_id, cm))

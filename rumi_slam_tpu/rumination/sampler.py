@@ -121,11 +121,23 @@ class BundleAssembler:
         lost_frames: list[RecordedFrame],
         back_kf_frames: list[RecordedFrame],
     ) -> Optional[list[RecordedFrame]]:
-        """front tail (≤ max_track_last) + lost + back head, time-sorted.
+        """front tail (≤ n_track_last) + lost + back head, time-sorted.
         Returns None if the bundle is too small (reference asserts >=30
         frames and >=1 lost image, CloudImageSampler.cc:180-183)."""
         front = front_kf_frames[-min(self.cfg.n_track_last, self.cfg.max_track_last):]
         back = back_kf_frames[: self.cfg.n_new_track_first]
+        return self.combine(front, lost_frames, back)
+
+    def combine(
+        self,
+        front: list[RecordedFrame],
+        lost_frames: list[RecordedFrame],
+        back: list[RecordedFrame],
+    ) -> Optional[list[RecordedFrame]]:
+        """Gap-filter lost frames, merge + time-sort + dedup, size-gate.
+        Callers that already sized their context windows (the coordinator's
+        full-rate windows) use this directly; :meth:`assemble` adds the
+        reference's KF-tail trimming on top."""
         if not lost_frames:
             return None
         lo = front[-1].time if front else -np.inf
