@@ -27,8 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=10)
-    ap.add_argument("--duration", type=float, default=25.0)
-    ap.add_argument("--lost", type=float, nargs=2, default=(10.0, 12.0))
+    ap.add_argument("--duration", type=float, default=16.0)
+    # gap start 12.0 s: a region where the fr1_floor camera hovers, so the
+    # post-gap view plausibly overlaps mapped structure — the regime the
+    # paper targets (loss events with recoverable context); a gap through
+    # a fast sweep leaves NO cross-gap appearance overlap and every
+    # backend (DROID included) would fail to connect the sides
+    ap.add_argument("--lost", type=float, nargs=2, default=(12.0, 12.9))
     ap.add_argument("--seq", default="rgbd_dataset_freiburg1_floor")
     ap.add_argument("--out", default="ATE_r04.json")
     ap.add_argument("--no-rumination", action="store_true")
