@@ -80,6 +80,9 @@ class MapConfig:
     loop_check_interval: int = 4   # check every Nth keyframe
     loop_min_score: int = 30       # retrieval score gate
     loop_min_inliers: int = 25     # Sim3 verification gate
+    # GBA after a verified loop closure (reference LoopClosing.cc:916
+    # launches RunGlobalBundleAdjustment after CorrectLoop); 0 = off
+    loop_gba_iters: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,9 +141,15 @@ class MergeConfig:
     welding_covis: int = 5           # extra covisible KFs in welding window
     sim3_iters: int = 8
     # relaunch global BA after a successful double merge (reference
-    # CloudMerging.cc:243-250/:365-372 optional GBA thread)
-    run_gba: bool = False
+    # CloudMerging.cc:243-250/:365-372 relaunches its GBA thread); routed
+    # through the distributed PCG Schur engine when >1 device is visible
+    run_gba: bool = True
     gba_iters: int = 12
+    # one retry of a failed cloud/back merge with widened association
+    # tolerances (the reference's merge_anyway spirit, launch/main.launch:34)
+    retry_widened: bool = True
+    retry_pixel_radius: float = 6.0
+    retry_min_inlier_ratio: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,7 @@ from typing import Optional
 import numpy as np
 
 RESULT_COLUMNS = [
-    "dataset", "ate", "rate", "duration", "runtime_s",
+    "dataset", "ate", "ate_frame", "rate", "duration", "runtime_s",
     "front_cloud_match_num", "back_cloud_match_num",
     "lost_timestamp", "new_map_timestamp",
     "n_kf", "n_points", "n_maps", "n_merges", "merge_inlier_ratio",
@@ -72,11 +72,19 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
 
     gt_t = np.asarray(seq.times)
     gt_p = np.stack([np.asarray(p) for p in seq.poses_gt])
-    times, poses = slam.trajectory_of_map()
+    # the reference's oracle scores the KEYFRAME trajectory exported after
+    # all optimizations (CloudSaveKeyFrameTrajectoryTUM,
+    # cloud_edge_main.cpp:319-324; evo_node.py:182-206) — KF poses carry
+    # the retroactive LBA/GBA/merge corrections the frame-time log never
+    # sees; the frame log is kept as a diagnostic column
+    times, poses = slam.keyframe_trajectory()
     m = ate_mod.evaluate_trajectory(times, poses, gt_t, gt_p)
+    ft, fp = slam.trajectory_of_map()
+    mf = ate_mod.evaluate_trajectory(ft, fp, gt_t, gt_p)
 
     merges = [h for h in (coord.history if coord else []) if h.get("result") == "merged"]
     lost_ts = [t for t, _, _, s in slam.trajectory if s == "RECENTLY_LOST"]
+    n_tracked = sum(1 for _, _, _, s in slam.trajectory if s == "OK")
     try:
         from ..runtime import native
 
@@ -88,6 +96,7 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
     return {
         "dataset": getattr(seq, "name", "synthetic"),
         "ate": m["ate"],
+        "ate_frame": mf["ate"],
         "rate": m["rate"],
         "duration": float(gt_t[-1] - gt_t[0]) if len(gt_t) > 1 else 0.0,
         "runtime_s": runtime,
@@ -103,9 +112,36 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
         "bundle_frames": merges[0].get("bundle_size", 0) if merges else 0,
         "upload_mb": sum(h.get("upload_mb", 0.0) for h in (coord.history if coord else [])),
         "upload_mb_raw": sum(h.get("upload_mb_raw", 0.0) for h in (coord.history if coord else [])),
+        "n_lost_sampled": max(
+            (h.get("n_lost_sampled", 0) for h in (coord.history if coord else [])),
+            default=0),
+        "n_lost_raw": max(
+            (h.get("n_lost_raw", 0) for h in (coord.history if coord else [])),
+            default=0),
+        # merge forensics (VERDICT r4 #6): every attempt's outcome + the
+        # association evidence behind it, so failed runs explain themselves
+        "merge_results": [
+            {"result": h.get("result"),
+             "n_cloud_kf": h.get("n_cloud_kf"),
+             "cloud": _merge_brief(h.get("cloud_merge")),
+             "back": _merge_brief(h.get("back_merge")),
+             "weld": h.get("backend_weld"),
+             "gba": h.get("gba")}
+            for h in (coord.history if coord else [])
+            if h.get("result") != "bundle_too_small"
+        ],
         "drops": drops,
+        "n_tracked": n_tracked,
         "rss_mb": rss_mb,
     }
+
+
+def _merge_brief(i):
+    if not isinstance(i, dict):
+        return None
+    keep = ("n_kf_matches", "n_pt_pairs", "inlier_ratio", "reason", "retried")
+    return {k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in i.items() if k in keep}
 
 
 def write_result_csv(row: dict, path) -> None:

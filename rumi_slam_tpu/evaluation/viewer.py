@@ -80,12 +80,15 @@ class LiveViewer:
     Endpoints: ``/`` (html), ``/map.png`` (fresh render), ``/stats``.
     """
 
-    def __init__(self, slam, *, port: int = 8642, period_s: float = 1.0):
+    def __init__(self, slam, *, port: int = 8642, period_s: float = 1.0,
+                 host: str = "127.0.0.1"):
         self.slam = slam
         self.port = port
-        self.period_s = period_s
+        self.host = host            # loopback by default: the map/stats are
+        self.period_s = period_s    # not meant for the whole network
         self._httpd = None
         self._thread: Optional[threading.Thread] = None
+        self._render_lock = threading.Lock()
 
     def start(self):
         import http.server
@@ -122,8 +125,11 @@ class LiveViewer:
 
                         ms = viewer.slam.ms
                         buf = io.BytesIO()
-                        plot.plot_map(buf, ms,
-                                      title=f"live @ {int(ms.n_kf)} KFs")
+                        # pyplot keeps global figure state: concurrent
+                        # handler threads must not interleave renders
+                        with viewer._render_lock:
+                            plot.plot_map(buf, ms,
+                                          title=f"live @ {int(ms.n_kf)} KFs")
                         self._send(200, "image/png", buf.getvalue())
                     else:
                         t = int(viewer.period_s * 1000)
@@ -155,7 +161,7 @@ class LiveViewer:
         class Server(socketserver.ThreadingMixIn, hs.HTTPServer):
             daemon_threads = True
 
-        self._httpd = Server(("0.0.0.0", self.port), Handler)
+        self._httpd = Server((self.host, self.port), Handler)
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
         self._thread.start()

@@ -95,14 +95,22 @@ class GroundtruthSequence:
     Args:
       name: sequence dir under the vendored groundtruth root (e.g.
         "rgbd_dataset_freiburg1_floor") or an absolute groundtruth.txt path.
-      lost_span_s: (t0, t1) seconds from sequence start rendered
-        featureless — the forced loss gap driving the rumination path.
+      lost_span_s: (t0, t1) seconds from sequence start with degraded
+        rendering — the forced loss gap driving the rumination path.
+      gap_mode: how the gap is rendered.  "degraded" (default) renders the
+        true frame then motion-degrades it (gaussian blur + contrast
+        collapse) — textured enough that LK optical flow has signal (the
+        regime the reference's KFDSample PD sampler works in: blurred but
+        not blank frames, KFDSample.cc:131-150) yet below the ORB
+        tracker's corner/descriptor floor.  "featureless" renders a
+        constant frame (total dropout, the r4 behavior).
       duration_s: optionally truncate the sequence.
     """
 
     def __init__(self, name="rgbd_dataset_freiburg1_floor", *, width=320,
                  height=240, K=None, n_points=2500, seed=0,
-                 lost_span_s=None, duration_s=None, fps=30.0, patch=6):
+                 lost_span_s=None, duration_s=None, fps=30.0, patch=6,
+                 gap_mode="degraded"):
         path = (name if os.path.isabs(name)
                 else os.path.join(GT_ROOT, name, "groundtruth.txt"))
         times, T_wc = load_tum_groundtruth(path)
@@ -125,6 +133,7 @@ class GroundtruthSequence:
             self.K, np.stack([np.asarray(p) for p in self.poses_gt]),
             n_points, seed, width, height)
         self.lost_span = None
+        self.gap_mode = gap_mode
         if lost_span_s is not None:
             i0 = int(np.searchsorted(self.times, lost_span_s[0]))
             i1 = int(np.searchsorted(self.times, lost_span_s[1]))
@@ -134,11 +143,25 @@ class GroundtruthSequence:
         return len(self.poses_gt)
 
     def frame(self, i):
-        if (self.lost_span is not None
-                and self.lost_span[0] <= i < self.lost_span[1]):
-            img = jnp.full((self.height, self.width), 40.0, jnp.float32)
-        else:
-            img = synthetic.render_frame(
-                self.world, self.K, self.poses_gt[i],
-                width=self.width, height=self.height, patch=self.patch)
+        in_gap = (self.lost_span is not None
+                  and self.lost_span[0] <= i < self.lost_span[1])
+        if in_gap and self.gap_mode == "featureless":
+            return (jnp.full((self.height, self.width), 40.0, jnp.float32),
+                    float(self.times[i]))
+        img = synthetic.render_frame(
+            self.world, self.K, self.poses_gt[i],
+            width=self.width, height=self.height, patch=self.patch)
+        if in_gap:
+            img = degrade_frame(img)
         return img, float(self.times[i])
+
+
+def degrade_frame(img, *, sigma=3.0, contrast=0.25, floor=60.0):
+    """Motion-degrade a frame below the ORB tracking floor while keeping
+    large-scale gradients for LK flow: heavy gaussian blur (kills the FAST
+    corner response and decorrelates BRIEF against sharp-frame descriptors)
+    plus contrast collapse toward a grey floor."""
+    from ..ops import image as I
+
+    blurred = I.gaussian_blur(img, sigma=sigma, radius=int(3 * sigma))
+    return floor + contrast * blurred

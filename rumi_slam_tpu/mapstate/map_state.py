@@ -255,6 +255,7 @@ def set_associations(ms: MapState, kf_id, assoc):
     return ms._replace(kf_point=ms.kf_point.at[kf_id].set(assoc))
 
 
+@jax.jit
 def refresh_point_descriptors(ms: MapState, kf_id):
     """Update observed points' representative descriptors from one KF's
     features.  Streaming stand-in for the reference's min-median-Hamming

@@ -80,6 +80,26 @@ def global_mesh(hosts: int | None = None):
     return Mesh(devs.reshape(n_hosts, per_host), ("host", "chip"))
 
 
+def ba_mesh(max_devices: int | None = None):
+    """1-D ("ba",) mesh over the visible devices for the distributed
+    matrix-free PCG GBA (parallel.sharded_ba.sharded_bundle_adjust_pcg) —
+    the post-merge GBA relaunch path (reference CloudMerging.cc:243-250).
+
+    Returns None on a single device: callers fall through to the
+    single-device dense-Schur solve with no mesh plumbing.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = list(jax.devices())
+    if max_devices:
+        devs = devs[:max_devices]
+    if len(devs) <= 1:
+        return None
+    return Mesh(np.asarray(devs), ("ba",))
+
+
 def process_local_devices():
     import jax
 

@@ -31,6 +31,10 @@ class RuminationBackend:
     def __init__(self, config: Config):
         import dataclasses
 
+        # forensics from the most recent cross-gap weld (anchor counts,
+        # scale estimate + spread) — surfaced into the merge info rows
+        self.last_weld_info: Optional[dict] = None
+
         # offline budgets: the bundle is short (~30-130 frames) and paid for
         # once, so keyframe every frame and give up on dead frames fast (the
         # reference's cloud DROID-SLAM likewise keyframes densely and runs
@@ -60,13 +64,50 @@ class RuminationBackend:
             # relocalize across the loss gap from sparse, wide-baseline views
             # (the reference's DROID backend is likewise far heavier per frame
             # than the edge tracker)
+            # lower FAST thresholds: bundle frames are blur-homogenized
+            # (_normalize), which damps corner response across the board
             orb=dataclasses.replace(
                 config.orb, n_features=max(512, config.orb.n_features),
+                ini_th_fast=12.0, min_th_fast=5.0,
             ),
         )
 
+    #: appearance-homogenization blur sigma for bundle frames (see
+    #: _normalize); 0 disables
+    BUNDLE_BLUR_SIGMA = 2.5
+
+    @classmethod
+    def _normalize(cls, img: np.ndarray) -> np.ndarray:
+        """Homogenize a bundle frame's appearance (offline pre-processing
+        the realtime tracker cannot afford per-frame).
+
+        Loss-gap imagery is blurred + contrast-collapsed while the context
+        windows are sharp; ORB descriptors across that appearance boundary
+        do not match, which would split the reconstruction exactly at the
+        seam the backend exists to bridge.  So every frame is brought to
+        the bundle's lowest common appearance: blur the sharp frames to
+        the gap's smoothness, then restore dynamic range.  Blur-matched
+        descriptors between consecutive frames then match through the
+        whole bundle — the sparse-feature analogue of how the reference's
+        dense DROID backend tracks through degraded spans."""
+        import jax.numpy as jnp
+
+        from ..ops import image as I
+
+        img = np.asarray(img, np.float32)
+        s = float(img.std())
+        if s < 1.0:
+            return img      # truly blank (covered lens): nothing to recover
+        if cls.BUNDLE_BLUR_SIGMA > 0:
+            img = np.asarray(I.gaussian_blur(
+                jnp.asarray(img), sigma=cls.BUNDLE_BLUR_SIGMA,
+                radius=int(3 * cls.BUNDLE_BLUR_SIGMA)))
+            s = max(float(img.std()), 1e-3)
+        return np.clip((img - img.mean()) * (48.0 / s) + 110.0, 0.0, 255.0)
+
     def build(self, bundle: list[RecordedFrame],
-              anchor_times=()) -> Optional[cloud_map.CloudMap]:
+              anchor_times=(), anchor_split: Optional[float] = None,
+              ) -> Optional[cloud_map.CloudMap]:
         """Run offline SLAM over the bundle; return one spanning submap as a
         CloudMap, or None if reconstruction failed.
 
@@ -75,6 +116,11 @@ class RuminationBackend:
         timestamps with the live maps, which is what the merge's timestamp
         data-association keys on (reference CloudMerging.cc:147-164; its
         DROID backend gets this for free because the upload IS the KF list).
+        ``anchor_split``: a time strictly between the front-map and
+        back-map anchors; when given, the returned map must hold keyframes
+        on BOTH sides of it (the double merge needs timestamp matches into
+        both live maps — a one-sided reconstruction would pass the old
+        frame-count gates and then poison the merge).
 
         If the loss gap split the reconstruction into two submaps, weld them
         with a descriptor-matched Sim3 between their best-matching keyframe
@@ -86,24 +132,17 @@ class RuminationBackend:
         anchor_times = np.asarray(sorted(anchor_times))
         slam = SlamSystem(self.cfg)
         ok_frames = 0
-        usable = 0
         for f in bundle:
-            # degenerate (near-constant) frames — the loss events
-            # themselves: covered lens, textureless wall — carry no
-            # reconstructable signal for ANY backend (the reference's
-            # DROID server gets real blurred-but-textured frames) and
-            # must not count against the success-fraction gate below
-            if float(np.std(f.image)) > 1.0:
-                usable += 1
             if (len(anchor_times)
                     and np.min(np.abs(anchor_times - f.time)) < 1e-4):
                 # force the staleness trigger of NeedNewKeyFrame so an
                 # anchor frame (if tracked OK) becomes a keyframe
                 slam.frames_since_kf = max(slam.frames_since_kf, 15)
-            st = slam.track_monocular(jnp.asarray(f.image), f.time)
+            st = slam.track_monocular(
+                jnp.asarray(self._normalize(f.image)), f.time)
             if st == TrackState.OK:
                 ok_frames += 1
-        if slam.stats["n_kf"] < 4 or ok_frames < max(4, usable * 0.25):
+        if slam.stats["n_kf"] < 4 or ok_frames < 4:
             return None
         ms = slam.ms
         from ..mapstate import map_state as M
@@ -115,11 +154,47 @@ class RuminationBackend:
         best = int(order[0])
         if counts[best] < 4:
             return None
+        self.last_weld_info = None
         if len(order) > 1 and counts[int(order[1])] >= 2:
             second = int(order[1])
             welded = self._weld_submaps(slam, best, second)
+            if welded is None:
+                # reverse direction: PnP the big map's keyframes against
+                # the small map's points.  Asymmetry is real — descriptor
+                # refresh makes the most recent observation win
+                # (map_state.refresh_point_descriptors), so a submap that
+                # tracked INTO the degraded gap holds blur-matched point
+                # descriptors its sharp counterparts lack; whichever side
+                # owns the boundary appearance should serve as PnP target.
+                welded = self._weld_submaps(slam, second, best)
+                if welded is not None:
+                    best = second
             if welded is not None:
+                # post-weld refinement: the Sim3 weld leaves a seam (scale
+                # from a handful of PnP anchors); a full BA over the welded
+                # bundle map is affordable offline and straightens it
+                # before the CloudMap ships (the reference's DROID backend
+                # ships a jointly-optimized map for the same reason)
+                from ..tracking.local_mapping import global_bundle_adjustment
+
+                welded = global_bundle_adjustment(
+                    welded, slam.K, best, n_iters=8)
                 ms = welded
+        if anchor_split is not None and len(anchor_times):
+            # the double merge keys on timestamp matches into BOTH live
+            # maps: the shipped map must hold keyframes at anchor times on
+            # each side of the split, else it cannot weld the gap
+            kf_t = np.asarray(ms.kf_time)[
+                np.asarray(ms.kf_valid)
+                & (np.asarray(ms.kf_map_id) == best)]
+            fa = anchor_times[anchor_times < anchor_split]
+            bb = anchor_times[anchor_times > anchor_split]
+            def _hits(side):
+                return (len(side) > 0 and len(kf_t) > 0
+                        and float(np.min(np.abs(
+                            kf_t[:, None] - side[None, :]))) < 1e-3)
+            if not (_hits(fa) and _hits(bb)):
+                return None     # one-sided reconstruction: useless to merge
         return cloud_map.from_map_state(ms, best)
 
     def _weld_submaps(self, slam: SlamSystem, dst_map: int, src_map: int,
@@ -149,14 +224,24 @@ class RuminationBackend:
         if len(src_rows) < 2:
             return None
 
-        # spread anchor attempts across the src submap (first KFs sit at
-        # the gap boundary where overlap with dst is often worst)
+        # anchor attempts: bias toward the keyframes temporally NEAREST the
+        # dst submap (appearance/view overlap concentrates at the boundary
+        # between the two reconstructions), plus a spread sample so a
+        # revisit deeper in the submap can still anchor
         if len(src_rows) > 8:
-            pick = np.unique(np.linspace(0, len(src_rows) - 1, 8).astype(int))
-            src_try = src_rows[pick]
+            kf_time = np.asarray(ms.kf_time)
+            dst_t = kf_time[kf_v & (kf_map == dst_map)]
+            lo, hi = float(dst_t.min()), float(dst_t.max())
+            st = kf_time[src_rows]
+            dist = np.where(st < lo, lo - st,
+                            np.where(st > hi, st - hi, 0.0))
+            near = src_rows[np.argsort(dist)[:5]]
+            pick = np.unique(np.linspace(0, len(src_rows) - 1, 4).astype(int))
+            src_try = np.unique(np.concatenate([near, src_rows[pick]]))
         else:
             src_try = src_rows
         anchors = []  # (n_inl, row, T_dst [7])
+        tries = []
         for rank, b in enumerate(src_try):
             feats = orb.Features(
                 uv=ms.kf_uv[b], response=jnp.zeros_like(ms.kf_angle[b]),
@@ -167,8 +252,12 @@ class RuminationBackend:
                 jax.random.PRNGKey(1000 + rank), ms, slam.K, feats,
                 map_id=dst_map,
             )
+            tries.append((float(np.asarray(ms.kf_time)[b]),
+                          int(tr.n_inliers)))
             if int(tr.n_inliers) >= min_inliers:
                 anchors.append((int(tr.n_inliers), int(b), tr.pose))
+        self.last_weld_tries = {"dst": int(dst_map), "src": int(src_map),
+                                "pnp": tries}
         if len(anchors) < 2:
             return None
         anchors.sort(reverse=True)
@@ -176,8 +265,11 @@ class RuminationBackend:
         def center(T):
             return np.asarray(lie.se3_t(lie.se3_inverse(T)))
 
-        # scale: median baseline ratio over anchor pairs
-        ratios = []
+        # scale: least-squares fit of bd ≈ s * bs over anchor pairs
+        # (s = Σ bd·bs / Σ bs²) — long baselines dominate naturally, so a
+        # 2-anchor estimate from nearly-coincident PnP poses cannot hijack
+        # the scale the way a bare ratio median could (VERDICT r4 weak #6)
+        bds, bss = [], []
         for i in range(len(anchors)):
             for j in range(i + 1, len(anchors)):
                 bd = np.linalg.norm(center(anchors[i][2]) - center(anchors[j][2]))
@@ -186,10 +278,20 @@ class RuminationBackend:
                     - center(ms.kf_pose[anchors[j][1]])
                 )
                 if bs > 1e-6 and bd > 1e-6:
-                    ratios.append(bd / bs)
-        if not ratios:
+                    bds.append(bd)
+                    bss.append(bs)
+        if not bds:
             return None
-        s = float(np.median(ratios))
+        bds, bss = np.asarray(bds), np.asarray(bss)
+        s = float(np.dot(bds, bss) / np.dot(bss, bss))
+        self.last_weld_info = {
+            "n_anchors": len(anchors),
+            "anchor_inliers": [a[0] for a in anchors],
+            "scale": s,
+            "scale_ratio_spread": (
+                float(np.max(bds / bss) / np.min(bds / bss))
+                if len(bds) > 1 else 1.0),
+        }
 
         # S = T_dst(b)^-1 ∘ diag(s) ∘ T_src(b) from the strongest anchor
         _, b, T_dst = anchors[0]

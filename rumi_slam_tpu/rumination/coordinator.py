@@ -84,6 +84,7 @@ class RuminationCoordinator:
         self.shard = async_shard
         self._pending: Optional[dict] = None
         self._anchor_times: list[float] = []
+        self._anchor_split: Optional[float] = None
         slam.image_recorder = self.on_frame
 
     # ------------------------------------------------------------------
@@ -121,6 +122,9 @@ class RuminationCoordinator:
             if done is not None and self._pending is not None:
                 _, cm = done
                 info, self._pending = self._pending, None
+                info["backend_weld"] = getattr(
+                    getattr(self.shard, "backend", None), "last_weld_info",
+                    None)
                 if cm is None:
                     info["result"] = "backend_failed"
                     self.merged_maps.add(info["back"])
@@ -174,14 +178,33 @@ class RuminationCoordinator:
         t_front = np.sort(kf_t[(kf_m == front) & kf_v])
         t_back = np.sort(kf_t[(kf_m == back) & kf_v])
         sc = self.cfg.sampler
-        front_frames = self._frames_in_window(
-            t_front[-1] - sc.context_window_s, t_front[-1],
-            sc.max_track_last)
-        back_frames = self._frames_in_window(
-            t_back[0], t_back[0] + sc.context_window_s, sc.max_track_last)
+        # PRIMARY: KF-subsampled context windows — the reference ships KF
+        # images, not full frame rate (CloudImageSampler.cc:104-145); the
+        # backend chains across KF baselines the same way the live tracker
+        # does, and the upload shrinks ~5x
+        front_frames = self._frames_for_times(
+            t_front[t_front >= t_front[-1] - sc.context_window_s]
+            [-sc.n_track_last:])
+        back_frames = self._frames_for_times(
+            t_back[t_back <= t_back[0] + sc.context_window_s]
+            [: sc.n_new_track_first])
+        # fallback: full-rate windows when the KF cadence left too little
+        # context for the backend to anchor on
+        if len(front_frames) < 4 or len(back_frames) < 4:
+            front_frames = self._frames_in_window(
+                t_front[-1] - sc.context_window_s, t_front[-1],
+                sc.max_track_last)
+            back_frames = self._frames_in_window(
+                t_back[0], t_back[0] + sc.context_window_s,
+                sc.max_track_last)
         if not front_frames or not back_frames:
             front_frames = self._frames_for_times(t_front)
             back_frames = self._frames_for_times(t_back)
+        if not front_frames or not back_frames:
+            # ring buffer no longer holds frames near either map's KF
+            # timestamps (long gap + late maturation overran the capacity)
+            info["result"] = "no_ring_frames"
+            return None
         # anchors: live-KF timestamps inside the context windows — the
         # backend forces keyframes there so the CloudMap's timestamps
         # intersect the live maps' (the merge's association key)
@@ -190,6 +213,9 @@ class RuminationCoordinator:
             if (front_frames[0].time - 1e-6 <= t
                 <= back_frames[-1].time + 1e-6)
         ]
+        # a time strictly between the two live maps' keyframes: the
+        # backend's span gate (build must cover both sides of it)
+        self._anchor_split = 0.5 * (float(t_front[-1]) + float(t_back[0]))
         # the PD-subsampled lost list is the PRIMARY payload (reference
         # CloudImageSampler.cc:147-151 filters mvLostImages — the
         # KFDSample-selected list — into mvCurrentCloudProcessImages); the
@@ -223,19 +249,32 @@ class RuminationCoordinator:
         info: dict = {"front": front, "back": back}
         bundle = self._assemble_bundle(info, front, back)
         if bundle is None:
-            info["result"] = "bundle_too_small"
+            if info.get("result") == "no_ring_frames":
+                # unrecoverable for this map pair: the images are gone
+                self.merged_maps.add(back)
+            else:
+                info["result"] = "bundle_too_small"
             self.history.append(info)
             return info
 
+        # the reference clears its sampler state when the bundle is
+        # PUBLISHED, not when the merge concludes (CloudImageSampler.cc:
+        # 190-199) — so a later loss gap after a failed merge starts from a
+        # clean lost list instead of inheriting this gap's frames
+        self.sampler.reset()
+
         if self.shard is not None:
             if self.shard.submit(back, bundle,
-                                 anchor_times=self._anchor_times):
+                                 anchor_times=self._anchor_times,
+                                 anchor_split=self._anchor_split):
                 self._pending = info
             return None  # result harvested by a later poll
 
         # --- synchronous: backend builds the cloud submap inline
         cm = self.backend.build(bundle,
-                                anchor_times=self._anchor_times)
+                                anchor_times=self._anchor_times,
+                                anchor_split=self._anchor_split)
+        info["backend_weld"] = getattr(self.backend, "last_weld_info", None)
         if cm is None:
             info["result"] = "backend_failed"
             # one attempt per matured map — the reference marks BOTH maps
@@ -246,6 +285,28 @@ class RuminationCoordinator:
             self.history.append(info)
             return info
         return self._finish_rumination(info, cm)
+
+    def _merge_with_retry(self, ms, K, src, dst, key):
+        """merge_submaps with ONE retry under widened association
+        tolerances on a recoverable failure (the reference's merge_anyway
+        spirit, launch/main.launch:34 — a single rejected Sim3 solve,
+        CloudMerging.cc:815-824, need not doom the rumination)."""
+        import dataclasses
+
+        mc = self.cfg.merge
+        k1, k2 = jax.random.split(key)
+        ms, ok, i = merge_mod.merge_submaps(ms, K, src, dst, mc, k1)
+        if ok or not mc.retry_widened:
+            return ms, ok, i
+        if i.get("reason") not in ("no_point_pairs", "low_inliers"):
+            return ms, ok, i      # no_kf_matches cannot improve with radius
+        wide = dataclasses.replace(
+            mc, pixel_radius=mc.retry_pixel_radius,
+            min_inlier_ratio=mc.retry_min_inlier_ratio)
+        ms, ok, i2 = merge_mod.merge_submaps(ms, K, src, dst, wide, k2)
+        i2["retried"] = True
+        i2["first_attempt"] = i
+        return ms, ok, i2
 
     def _finish_rumination(self, info: dict, cm) -> dict:
         slam = self.slam
@@ -279,9 +340,8 @@ class RuminationCoordinator:
             return info
 
         self.key, k1, k2 = jax.random.split(self.key, 3)
-        ms, ok1, i1 = merge_mod.merge_submaps(
-            ms, slam.K, cloud_id, front, self.cfg.merge, k1
-        )
+        ms, ok1, i1 = self._merge_with_retry(
+            ms, slam.K, cloud_id, front, k1)
         info["cloud_merge"] = i1
         if not ok1:
             # drop the cloud map, keep tracking in the back map
@@ -295,21 +355,25 @@ class RuminationCoordinator:
             self.history.append(info)
             return info
 
-        ms, ok2, i2 = merge_mod.merge_submaps(
-            ms, slam.K, back, front, self.cfg.merge, k2
-        )
+        ms, ok2, i2 = self._merge_with_retry(ms, slam.K, back, front, k2)
         info["back_merge"] = i2
         if ok2:
             # tracking continues in the merged (front) map; correct the
             # tracker's cached pose by the back-map transform
             ms = ms._replace(active_map=jnp.int32(front))
             if self.cfg.merge.run_gba:
+                from ..parallel.distributed import ba_mesh
                 from ..tracking.local_mapping import global_bundle_adjustment
 
+                # >1 visible device routes through the distributed PCG
+                # Schur engine (psum over the "ba" mesh axis); single chip
+                # falls through to the dense-Schur solve
+                mesh = ba_mesh()
                 ms = global_bundle_adjustment(
-                    ms, slam.K, front, n_iters=self.cfg.merge.gba_iters
+                    ms, slam.K, front, n_iters=self.cfg.merge.gba_iters,
+                    mesh=mesh,
                 )
-                info["gba"] = True
+                info["gba"] = "pcg" if mesh is not None else "dense"
             slam.ms = ms
             # the back map world moved: recompute last_pose from its KF
             if slam.last_kf_id >= 0:
@@ -317,7 +381,6 @@ class RuminationCoordinator:
                 slam.velocity = lie.se3_identity()
             self.merged_maps.add(back)
             self.merged_maps.add(cloud_id)
-            self.sampler.reset()
             info["result"] = "merged"
         else:
             slam.ms = ms

@@ -45,13 +45,14 @@ class AsyncRuminationShard:
 
     # -- client side (tracking loop) -----------------------------------
     def submit(self, job_id: int, bundle: list[RecordedFrame],
-               anchor_times=()) -> bool:
+               anchor_times=(), anchor_split=None) -> bool:
         """Non-blocking; returns False if the shard is saturated (the
         reference's action client also refuses overlapping goals)."""
         if self._busy.is_set():
             return False
         try:
-            self._in.put_nowait((job_id, bundle, tuple(anchor_times)))
+            self._in.put_nowait(
+                (job_id, bundle, tuple(anchor_times), anchor_split))
         except queue.Full:
             return False
         self._busy.set()
@@ -81,13 +82,15 @@ class AsyncRuminationShard:
             item = self._in.get()
             if item is None:
                 break
-            job_id, bundle, anchors = item
+            job_id, bundle, anchors, split = item
             try:
                 if self.device is not None:
                     with jax.default_device(self.device):
-                        cm = self.backend.build(bundle, anchor_times=anchors)
+                        cm = self.backend.build(bundle, anchor_times=anchors,
+                                                anchor_split=split)
                 else:
-                    cm = self.backend.build(bundle, anchor_times=anchors)
+                    cm = self.backend.build(bundle, anchor_times=anchors,
+                                            anchor_split=split)
             except Exception:
                 cm = None
             self._out.put((job_id, cm))
@@ -107,5 +110,11 @@ def pick_rumination_device():
         return None
     from ..parallel.distributed import global_mesh
 
-    mesh = global_mesh()
+    try:
+        mesh = global_mesh()
+    except ValueError:
+        # uneven topology (visible devices don't divide over hosts): the
+        # strict mesh check is right for explicit collectives, but shard
+        # placement only needs *a* far device — fall back to the last one
+        return jax.devices()[-1]
     return mesh.devices[-1, -1]

@@ -72,6 +72,14 @@ class LostFrameSampler:
     def _reseed_points(self, img):
         score = nms3x3(fast_score(img, 12.0))
         yx, _, valid = select_keypoints(score, 128, cell=24, k_cell=4)
+        if int(jnp.sum(valid)) < 20:
+            # degraded regime (the frames the sampler exists for: motion
+            # blur, contrast collapse — reference KFDSample tracks THROUGH
+            # them, KFDSample.cc:131): corners are gone but large-scale
+            # gradients survive; seed LK from gradient energy instead
+            gy, gx = jnp.gradient(img)
+            score = nms3x3(gx * gx + gy * gy)
+            yx, _, valid = select_keypoints(score, 128, cell=24, k_cell=4)
         pts = jnp.stack([yx[:, 1], yx[:, 0]], -1).astype(jnp.float32)
         return pts, valid
 

@@ -117,10 +117,13 @@ def local_bundle_adjustment(ms: M.MapState, K, kf_id, *, window: int = 8,
     Rng = fixed_ring
     if Rng > 0:
         # points observed by the window
-        win_pt = ms.kf_point[ids]                                  # [W,F]
+        win_pt = ms.kf_point[ids].reshape(-1)                      # [W*F]
+        # scatter only the True slots (padded -1 routed out of range) —
+        # mixing True/False writes to index 0 would leave point slot 0's
+        # membership at the mercy of undefined duplicate-scatter order
         wpt = jnp.zeros((ms.max_pt,), bool).at[
-            jnp.clip(win_pt.reshape(-1), 0)
-        ].set(win_pt.reshape(-1) >= 0, mode="drop")
+            jnp.where(win_pt >= 0, win_pt, ms.max_pt)
+        ].set(True, mode="drop")
         wpt = wpt & ms.pt_valid
         # per-KF count of observations of window points
         obs_w = (ms.kf_point >= 0) & wpt[jnp.clip(ms.kf_point, 0)]  # [K,F]

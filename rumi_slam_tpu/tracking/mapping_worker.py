@@ -99,6 +99,14 @@ def run_mapping_round(ms: M.MapState, K, cfg, kf_id: int, *,
             if int(n_inl) >= mc.loop_min_inliers:
                 ms = LC.close_loop(ms, K, kf_id, int(cand.kf_id[r]), S)
                 events["loop"] = True
+                if mc.loop_gba_iters > 0:
+                    # the reference launches a GBA thread after CorrectLoop
+                    # (LoopClosing.cc:916, RunGlobalBundleAdjustment); here
+                    # the worker round IS the background thread, so run it
+                    # inline on the essential-graph-corrected map
+                    ms = local_mapping.global_bundle_adjustment(
+                        ms, K, int(ms.kf_map_id[kf_id]),
+                        n_iters=mc.loop_gba_iters)
                 break
     return MappingOutcome(snap=snap, mapped=ms, events=events)
 

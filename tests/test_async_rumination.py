@@ -24,7 +24,7 @@ class FakeBackend:
         self.fail = fail
         self.calls = 0
 
-    def build(self, bundle, anchor_times=()):
+    def build(self, bundle, anchor_times=(), anchor_split=None):
         self.calls += 1
         time.sleep(self.delay)
         if self.fail:

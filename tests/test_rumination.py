@@ -183,3 +183,38 @@ def test_sync_backend_failure_is_single_attempt():
     # the back map is now marked attempted: maybe_ruminate's
     # `active in merged_maps` guard prevents any further build
     assert 1 in coord.merged_maps
+
+
+def test_sampler_reset_on_publish_fences_failed_merges():
+    """VERDICT r4 #8: the sampler clears when the bundle is PUBLISHED
+    (reference CloudImageSampler.cc:190-199), so a later loss gap after a
+    FAILED rumination builds its bundle from its own lost frames only —
+    stale frames from the first gap must not leak into the second bundle."""
+    import jax.numpy as jnp
+
+    from rumi_slam_tpu.config import tiny_config
+    from rumi_slam_tpu.rumination.coordinator import RuminationCoordinator
+    from rumi_slam_tpu.rumination.sampler import RecordedFrame
+    from rumi_slam_tpu.system import SlamSystem
+    from test_async_rumination import FakeBackend, _bundle
+
+    slam = SlamSystem(tiny_config())
+    backend = FakeBackend(fail=True, delay=0.0)
+    coord = RuminationCoordinator(slam, slam.cfg, backend=backend)
+    coord._assemble_bundle = lambda info, f, b: _bundle(10)
+
+    # first gap: record lost frames, attempt fails
+    img = jnp.zeros((8, 8), jnp.float32)
+    for i in range(6):
+        coord.sampler.record(img, 1.0 + 0.1 * i)
+    assert coord.sampler.all_frames
+    info = coord._run_rumination(0, 1)
+    assert info["result"] == "backend_failed"
+    # publish cleared the sampler: the failed merge leaves no stale frames
+    assert not coord.sampler.all_frames and not coord.sampler.sampled
+
+    # second gap records fresh frames only
+    for i in range(4):
+        coord.sampler.record(img, 9.0 + 0.1 * i)
+    times = [f.time for f in coord.sampler.all_frames]
+    assert min(times) >= 9.0, times
