@@ -147,7 +147,9 @@ def main():
 
 
 ROW_KEYS = (
-    "repeat", "gap", "ate", "ate_frame", "rate", "n_kf", "n_maps", "n_merges",
+    "repeat", "gap", "ate", "ate_frame", "err_p50", "err_p90", "err_max",
+    "rate", "n_kf", "n_loops", "loop_best_score", "n_reloc",
+    "n_loss_events", "n_maps", "n_merges",
     "upload_mb", "upload_mb_raw", "n_lost_sampled", "n_lost_raw",
     "runtime_s", "drops", "n_tracked", "merge_results",
 )

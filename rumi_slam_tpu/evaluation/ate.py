@@ -28,14 +28,17 @@ def associate_by_time(t_est, t_gt, max_dt=0.02):
     return np.asarray(ie, np.int64), np.asarray(ig, np.int64)
 
 
-def ate_rmse(p_est, p_gt, *, with_scale=True):
+def ate_rmse(p_est, p_gt, *, with_scale=True, return_errors=False):
     """ATE RMSE after closed-form Sim3 alignment of positions [N,3]."""
     p_est = jnp.asarray(p_est, jnp.float32)
     p_gt = jnp.asarray(p_gt, jnp.float32)
     S = alignment.umeyama_alignment(p_est, p_gt, with_scale=with_scale)
     aligned = lie.sim3_apply(S, p_est)
     err = jnp.linalg.norm(aligned - p_gt, axis=-1)
-    return float(jnp.sqrt(jnp.mean(err**2)))
+    rmse = float(jnp.sqrt(jnp.mean(err**2)))
+    if return_errors:
+        return rmse, np.asarray(err)
+    return rmse
 
 
 def evaluate_trajectory(times_est, poses_est_cw, times_gt, poses_gt_cw,
@@ -56,11 +59,17 @@ def evaluate_trajectory(times_est, poses_est_cw, times_gt, poses_gt_cw,
 
     c_est = lie.se3_t(jax.vmap(lie.se3_inverse)(jnp.asarray(np.asarray(poses_est_cw)[ie])))
     c_gt = lie.se3_t(jax.vmap(lie.se3_inverse)(jnp.asarray(np.asarray(poses_gt_cw)[ig])))
-    ate = ate_rmse(c_est, c_gt, with_scale=with_scale)
+    ate, err = ate_rmse(c_est, c_gt, with_scale=with_scale,
+                        return_errors=True)
     dur_est = float(np.asarray(times_est)[ie].max() - np.asarray(times_est)[ie].min())
     dur_gt = float(np.asarray(times_gt).max() - np.asarray(times_gt).min())
     return {
         "ate": ate,
         "rate": dur_est / max(dur_gt, 1e-9),
         "n_matched": int(len(ie)),
+        # error-shape diagnostics: a misplaced map branch shows as
+        # err_max >> err_p50 (bimodal), pure drift grows smoothly
+        "err_p50": float(np.median(err)),
+        "err_p90": float(np.quantile(err, 0.9)),
+        "err_max": float(np.max(err)),
     }

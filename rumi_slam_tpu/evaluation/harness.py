@@ -97,6 +97,9 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
         "dataset": getattr(seq, "name", "synthetic"),
         "ate": m["ate"],
         "ate_frame": mf["ate"],
+        "err_p50": m.get("err_p50"),
+        "err_p90": m.get("err_p90"),
+        "err_max": m.get("err_max"),
         "rate": m["rate"],
         "duration": float(gt_t[-1] - gt_t[0]) if len(gt_t) > 1 else 0.0,
         "runtime_s": runtime,
@@ -105,6 +108,10 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
         "lost_timestamp": lost_ts[0] if lost_ts else -1.0,
         "new_map_timestamp": -1.0 if slam.stats["n_new_maps"] == 0 else lost_ts[-1] if lost_ts else -1.0,
         "n_kf": slam.stats["n_kf"],
+        "n_loops": slam.stats.get("n_loops", 0),
+        "n_reloc": slam.stats.get("n_reloc", 0),
+        "n_loss_events": slam.stats.get("n_loss_events", 0),
+        "loop_best_score": slam.stats.get("loop_best_score", 0),
         "n_points": int(np.asarray(ms.pt_valid).sum()),
         "n_maps": int(ms.n_maps),
         "n_merges": len(merges),

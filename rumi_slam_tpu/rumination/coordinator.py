@@ -134,8 +134,8 @@ class RuminationCoordinator:
 
         slam = self.slam
         ms = slam.ms
-        n_maps = int(ms.n_maps)
-        active = int(ms.active_map)
+        n_maps = slam.n_maps_host      # host mirrors: no per-frame device
+        active = slam.active_map_host  # round-trips in the gate checks
         if n_maps < 2 or active in self.merged_maps:
             return None
         if self._pending is not None and self._pending["back"] == active:
@@ -318,8 +318,9 @@ class RuminationCoordinator:
         front, back = info["front"], info["back"]
 
         # --- import + double merge (cloud->front, back->front)
-        cloud_id = int(ms.n_maps)
+        cloud_id = slam.n_maps_host
         ms = ms._replace(n_maps=ms.n_maps + 1)
+        slam.n_maps_host += 1
         ms, cloud_kf_ids = insert_cloud_map(ms, cm, cloud_id)
         # capacity accounting: add_keyframes_bulk silently drops rows past
         # max_kf — surface it, and fail fast when nothing landed (the merge
@@ -361,6 +362,7 @@ class RuminationCoordinator:
             # tracking continues in the merged (front) map; correct the
             # tracker's cached pose by the back-map transform
             ms = ms._replace(active_map=jnp.int32(front))
+            slam.active_map_host = front
             if self.cfg.merge.run_gba:
                 from ..parallel.distributed import ba_mesh
                 from ..tracking.local_mapping import global_bundle_adjustment

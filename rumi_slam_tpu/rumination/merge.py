@@ -274,6 +274,10 @@ def welding_ba(ms: M.MapState, K, matches: KFMatches, *, window: int = 16,
     conf = (
         (pt >= 0) & ms.kf_feat_valid[ids].reshape(-1) & jnp.repeat(valid_w, F)
     ).astype(jnp.float32)
+    # cloud observations weigh less: blur-homogenized bundle detections are
+    # noisier than live ones (same fence as global_bundle_adjustment)
+    conf = conf * jnp.repeat(
+        jnp.where(ms.kf_is_cloud[ids], 0.3, 1.0), F)
 
     big = jnp.int32(1 << 30)
     order = jnp.where(valid_w, ids, big)

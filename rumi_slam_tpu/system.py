@@ -66,6 +66,11 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.key = jax.random.PRNGKey(0)
         self.lost_since: Optional[float] = None
+        # host mirrors of ms.n_maps / ms.active_map: both change only at
+        # host-driven events (new submap, merge, load), and reading them
+        # from the device every frame costs a blocking tunnel round-trip
+        self.n_maps_host: int = 1
+        self.active_map_host: int = 0
         self._init_feats = None
         self._init_time = None
         # trajectory log: (time, pose_cw [7] np, map_id, state)
@@ -344,6 +349,8 @@ class SlamSystem:
         if int(tr.n_inliers) < cfg.min_track_inliers:
             self.state = TrackState.RECENTLY_LOST
             self.lost_since = t
+            self.stats["n_loss_events"] = (
+                self.stats.get("n_loss_events", 0) + 1)
             self._log(f"[track] lost at t={t:.3f} "
                       f"({int(tr.n_inliers)} inliers)")
             return
@@ -472,6 +479,10 @@ class SlamSystem:
         ev = out.events
         self.stats["n_new_pts"] = self.stats.get("n_new_pts", 0) + ev["n_new"]
         self.stats["n_fused"] = self.stats.get("n_fused", 0) + ev["n_fused"]
+        if "loop_best_score" in ev:
+            self.stats["loop_best_score"] = max(
+                self.stats.get("loop_best_score", 0),
+                ev["loop_best_score"])
         if ev["loop"]:
             self.stats["n_loops"] = self.stats.get("n_loops", 0) + 1
             # poses moved under us: drop the motion-model extrapolation
@@ -601,10 +612,12 @@ class SlamSystem:
         if (n_kf >= cfg.new_map_min_kf and dur >= cfg.new_map_min_duration_s
                 and curv > cfg.new_map_min_curvature):
             # freeze current map; open a new submap (CreateMapInAtlas)
-            new_id = int(ms.n_maps)
+            new_id = self.n_maps_host
             self.ms = ms._replace(
                 active_map=jnp.int32(new_id), n_maps=ms.n_maps + 1
             )
+            self.n_maps_host += 1
+            self.active_map_host = new_id
             self.stats["n_new_maps"] += 1
             self._log(f"[atlas] new submap {new_id} opened at t={t:.3f}")
         else:
@@ -623,7 +636,7 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _log_pose(self, t, pose):
         self.trajectory.append(
-            (t, np.asarray(pose), int(self.ms.active_map), self.state.name)
+            (t, np.asarray(pose), self.active_map_host, self.state.name)
         )
 
     def save_map(self, path) -> str:
@@ -643,6 +656,8 @@ class SlamSystem:
 
         self.sync_mapping()
         self.ms = checkpoint.load(path)
+        self.n_maps_host = int(self.ms.n_maps)
+        self.active_map_host = int(self.ms.active_map)
         self.state = TrackState.RECENTLY_LOST
         self.lost_since = None
         self.last_kf_id = int(self.ms.n_kf) - 1
@@ -666,8 +681,17 @@ class SlamSystem:
                         best, best_dur = m, dur
             map_id = best
         sel = kf_v & (kf_m == map_id)
-        order = np.argsort(kf_t[sel])
-        return kf_t[sel][order], np.asarray(ms.kf_pose)[sel][order]
+        times = kf_t[sel]
+        poses = np.asarray(ms.kf_pose)[sel]
+        is_cloud = np.asarray(ms.kf_is_cloud)[sel]
+        # timestamp dedup, live KF preferred over a cloud twin (reference
+        # CloudSaveKeyFrameTrajectoryTUM skips cloud KFs whose stamp
+        # repeats a live one, KeyFrame.cc:138-180)
+        order = np.lexsort((is_cloud, times))    # live first within a stamp
+        times, poses, is_cloud = times[order], poses[order], is_cloud[order]
+        keep = np.ones(len(times), bool)
+        keep[1:] = ~(np.abs(np.diff(times)) < 1e-4) | ~is_cloud[1:]
+        return times[keep], poses[keep]
 
     def trajectory_of_map(self, map_id=None):
         """(times, poses_cw [N,7]) of frames tracked in one submap; default =

@@ -346,6 +346,12 @@ def global_bundle_adjustment(ms: M.MapState, K, map_id, *, n_iters: int = 12,
     conf = ((obs_pt >= 0) & feat_ok).astype(np.float32) * np.asarray(
         octave_inv_sigma2(ms.kf_octave[kf_rows].reshape(-1))
     ).reshape(kp.shape)
+    # cloud-KF observations: keypoints detected on blur-homogenized bundle
+    # frames carry ~2-3x the localization noise of live detections, and
+    # after a merge they rival the live observations in count — equal
+    # weighting would drag the joint solution (the reference analogously
+    # fences cloud KFs via the isEdge flag, Optimizer.cc:2323)
+    conf *= np.where(np.asarray(ms.kf_is_cloud[kf_rows])[:, None], 0.3, 1.0)
 
     poses = np.zeros((C, 7), np.float32)
     poses[:, 0] = 1.0
@@ -413,7 +419,10 @@ def _global_ba_sharded(ms: M.MapState, K, map_id, mesh, *, n_iters: int,
     pt_idx = pt_local[np.clip(kp, 0, None)][obs_sel]
     uv = np.asarray(ms.kf_uv[kf_rows]).reshape(-1, 2)[obs_sel.reshape(-1)]
     conf = np.asarray(octave_inv_sigma2(
-        ms.kf_octave[kf_rows].reshape(-1))).reshape(kp.shape)[obs_sel]
+        ms.kf_octave[kf_rows].reshape(-1))).reshape(kp.shape)
+    # same cloud-observation down-weight as the dense path above
+    conf = (conf * np.where(np.asarray(ms.kf_is_cloud[kf_rows])[:, None],
+                            0.3, 1.0))[obs_sel]
 
     part = sharded_ba.partition_problem_grouped(
         cam_idx.astype(np.int32), pt_idx.astype(np.int32),

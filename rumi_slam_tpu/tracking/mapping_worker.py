@@ -64,12 +64,21 @@ def run_mapping_round(ms: M.MapState, K, cfg, kf_id: int, *,
     # binding constraint on reloc/merge, and the batched triangulation is
     # nearly free on the MXU)
     ids, valid_w = M.local_window(ms, kf_id, window=5)
+    # one transfer for the window (per-element int()/bool() would cost a
+    # blocking device round-trip each — expensive over a tunneled TPU)
+    import numpy as np
+
+    ids = np.asarray(ids)
+    valid_w = np.asarray(valid_w)
+    new_counts = []
     for j in range(1, 5):
         if bool(valid_w[j]) and int(ids[j]) != int(kf_id):
             ms, n_new = local_mapping.triangulate_with_neighbor(
                 ms, K, kf_id, int(ids[j])
             )
-            events["n_new"] += int(n_new)
+            new_counts.append(n_new)
+    if new_counts:
+        events["n_new"] += int(jnp.sum(jnp.stack(new_counts)))
     # in-map duplicate fusion (SearchInNeighbors + Fuse)
     ms, n_fused = local_mapping.fuse_with_neighbors(
         ms, K, kf_id, window=4, img_w=cam.width, img_h=cam.height,
@@ -92,6 +101,7 @@ def run_mapping_round(ms: M.MapState, K, cfg, kf_id: int, *,
         from . import loop_closing as LC
 
         cand = LC.detect_loop_candidates(ms, kf_id)
+        events["loop_best_score"] = int(cand.score[0])
         for r in range(int(cand.kf_id.shape[0])):
             if int(cand.score[r]) < mc.loop_min_score:
                 break
