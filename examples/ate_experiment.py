@@ -132,7 +132,7 @@ def main():
         row = harness.run_once(
             seq, cfg, seed=r,
             enable_rumination=not (args.no_rumination or args.control),
-            realtime_pace=args.pace)
+            realtime_pace=args.pace, warmup=args.pace > 0)
         row["repeat"] = r
         row["gap"] = list(gap) if gap else None
         rows.append(row)
@@ -148,7 +148,8 @@ def main():
 
 ROW_KEYS = (
     "repeat", "gap", "ate", "ate_frame", "err_p50", "err_p90", "err_max",
-    "rate", "n_kf", "n_loops", "loop_best_score", "n_reloc",
+    "rate", "n_kf", "n_loops", "loop_best_score", "loop_verify_inliers",
+    "n_reloc",
     "n_loss_events", "n_maps", "n_merges",
     "upload_mb", "upload_mb_raw", "n_lost_sampled", "n_lost_raw",
     "runtime_s", "drops", "n_tracked", "merge_results",

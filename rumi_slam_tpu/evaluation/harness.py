@@ -29,20 +29,31 @@ RESULT_COLUMNS = [
 
 
 def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
-             realtime_pace: float = 0.0) -> dict:
+             realtime_pace: float = 0.0, warmup: bool = False) -> dict:
     """Run the full system over a sequence; return a result-row dict.
 
     ``realtime_pace`` > 0 replays at pace x real time with the reference's
     drop semantics (cloud_edge_main.cpp:597-610: the replay clock never
     waits): a frame whose timestamp has already passed by more than one
     frame interval when the tracker gets to it is DROPPED, counted in the
-    ``drops`` column, and the completion ``rate`` degrades accordingly."""
+    ``drops`` column, and the completion ``rate`` degrades accordingly.
+
+    ``warmup`` first replays the whole sequence offline through a scratch
+    system and discards it, so every XLA compile (extraction, init, LBA,
+    loop closing, merge, GBA) is cached in-process before the replay clock
+    starts.  The reference's C++ has no compile stall; without this a paced
+    TPU run spends the first ~80 s compiling and every frame of a ~50 s
+    sequence expires before the tracker sees it."""
     import jax
 
     from ..evaluation import ate as ate_mod
     from ..mapstate import map_state as M
     from ..rumination.coordinator import RuminationCoordinator
     from ..system import SlamSystem
+
+    if warmup:
+        run_once(seq, config, seed=seed,
+                 enable_rumination=enable_rumination, realtime_pace=0.0)
 
     slam = SlamSystem(config)
     slam.key = jax.random.PRNGKey(seed)
@@ -112,6 +123,7 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
         "n_reloc": slam.stats.get("n_reloc", 0),
         "n_loss_events": slam.stats.get("n_loss_events", 0),
         "loop_best_score": slam.stats.get("loop_best_score", 0),
+        "loop_verify_inliers": slam.stats.get("loop_verify_inliers", 0),
         "n_points": int(np.asarray(ms.pt_valid).sum()),
         "n_maps": int(ms.n_maps),
         "n_merges": len(merges),

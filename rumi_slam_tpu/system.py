@@ -483,6 +483,10 @@ class SlamSystem:
             self.stats["loop_best_score"] = max(
                 self.stats.get("loop_best_score", 0),
                 ev["loop_best_score"])
+        if "loop_verify_inliers" in ev:
+            self.stats["loop_verify_inliers"] = max(
+                self.stats.get("loop_verify_inliers", 0),
+                ev["loop_verify_inliers"])
         if ev["loop"]:
             self.stats["n_loops"] = self.stats.get("n_loops", 0) + 1
             # poses moved under us: drop the motion-model extrapolation

@@ -69,7 +69,7 @@ def detect_loop_candidates(ms: M.MapState, kf_id, *, top_k: int = 3,
 
 @partial(jax.jit, static_argnames=("n_hyp",))
 def verify_loop(key, K, ms: M.MapState, kf_query, kf_cand, *,
-                n_hyp: int = 64, thresh_px: float = 6.0,
+                n_hyp: int = 256, thresh_px: float = 6.0,
                 max_hamming=matcher.TH_LOW, nn_ratio=0.85):
     """Descriptor-matched Sim3 verification between two KFs.
 
@@ -108,9 +108,23 @@ def verify_loop(key, K, ms: M.MapState, kf_query, kf_cand, *,
         err = jnp.linalg.norm(uv_hat - uv_q, axis=-1)
         return matched & (err < thresh_px) & (depth > 0.05)
 
+    def inliers_at(S, t):
+        X_hat = lie.sim3_apply(S, Xc)
+        uv_hat, depth = camera.project_world(K, T_q, X_hat)
+        err = jnp.linalg.norm(uv_hat - uv_q, axis=-1)
+        return matched & (err < t) & (depth > 0.05)
+
     scores = jax.vmap(lambda S: jnp.sum(inliers(S)))(S_h)
     best = jnp.argmax(scores)
     S = S_h[best]
+    # refinement (the reference follows Sim3Solver RANSAC with
+    # OptimizeSim3, LoopClosing.cc — a minimal 3-point hypothesis rarely
+    # nails the Sim3 under monocular scale drift): re-fit weighted Horn on
+    # the consensus set at a relaxed gate, then once at the final gate
+    for relax in (2.0, 1.0):
+        w = inliers_at(S, relax * thresh_px).astype(jnp.float32)
+        S_ref = alignment.horn_alignment(Xc, Xq, w)
+        S = jnp.where(jnp.sum(w) >= 3, S_ref, S)
     inl = inliers(S)
     return S, jnp.sum(inl), inl
 

@@ -106,6 +106,10 @@ def run_mapping_round(ms: M.MapState, K, cfg, kf_id: int, *,
             if int(cand.score[r]) < mc.loop_min_score:
                 break
             S, n_inl, _ = LC.verify_loop(key, K, ms, kf_id, int(cand.kf_id[r]))
+            # forensic: how close verification gets when loops DON'T close
+            # (n_loops==0 with huge retrieval scores is otherwise opaque)
+            events["loop_verify_inliers"] = max(
+                events.get("loop_verify_inliers", 0), int(n_inl))
             if int(n_inl) >= mc.loop_min_inliers:
                 ms = LC.close_loop(ms, K, kf_id, int(cand.kf_id[r]), S)
                 events["loop"] = True
